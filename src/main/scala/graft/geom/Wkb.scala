@@ -1,0 +1,200 @@
+package graft.geom
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Geometry model + WKB codec.
+  *
+  * The 7-variant closed geometry type system mirrors the reference
+  * (`/root/reference/geomedea/src/geometry/mod.rs:10-19`): Point,
+  * LineString, Polygon (ring 0 exterior, rest holes), MultiPoint,
+  * MultiLineString, MultiPolygon, GeometryCollection. No 3D, no null
+  * geometries. Coordinates are stored internally as scaled i32
+  * (see [[ScaledCoord]]); the wire format is standard ISO WKB
+  * (little-endian, type codes 1-7) with coordinates in degrees, so
+  * quantization happens exactly once at decode (mirroring the
+  * reference's quantize-at-ingest behavior).
+  */
+object Wkb {
+
+  sealed trait Geom {
+    /** Recursive bbox, the engine's core projection
+      * (`geometry/bounded.rs:5-77`). */
+    def envelope: Envelope = this match {
+      case Pt(lng, lat)   => Envelope(lng, lat, lng, lat)
+      case Line(cs)       => envOfCoords(cs)
+      case Poly(rings)    => if (rings.isEmpty) Envelope.empty else envOfCoords(rings.head)
+      case MultiPt(cs)    => envOfCoords(cs)
+      case MultiLine(ls)  => ls.foldLeft(Envelope.empty)((e, l) => e.union(envOfCoords(l)))
+      case MultiPoly(ps)  =>
+        ps.foldLeft(Envelope.empty)((e, rings) =>
+          if (rings.isEmpty) e else e.union(envOfCoords(rings.head)))
+      case Collection(gs) => gs.foldLeft(Envelope.empty)((e, g) => e.union(g.envelope))
+    }
+  }
+
+  /** coords are (lng, lat) scaled-int pairs packed as Array[Long] via pack(). */
+  final case class Pt(lng: Int, lat: Int) extends Geom
+  final case class Line(coords: Array[Long]) extends Geom
+  final case class Poly(rings: Vector[Array[Long]]) extends Geom
+  final case class MultiPt(coords: Array[Long]) extends Geom
+  final case class MultiLine(lines: Vector[Array[Long]]) extends Geom
+  final case class MultiPoly(polys: Vector[Vector[Array[Long]]]) extends Geom
+  final case class Collection(geoms: Vector[Geom]) extends Geom
+
+  @inline def pack(lng: Int, lat: Int): Long = (lng.toLong << 32) | (lat.toLong & 0xFFFFFFFFL)
+  @inline def lngOf(packed: Long): Int = (packed >>> 32).toInt
+  @inline def latOf(packed: Long): Int = packed.toInt
+
+  private def envOfCoords(cs: Array[Long]): Envelope = {
+    var e = Envelope.empty
+    var i = 0
+    while (i < cs.length) { e = e.extendPoint(lngOf(cs(i)), latOf(cs(i))); i += 1 }
+    e
+  }
+
+  // --- encode ------------------------------------------------------------
+
+  def write(g: Geom): Array[Byte] = {
+    val buf = ByteBuffer.allocate(size(g)).order(ByteOrder.LITTLE_ENDIAN)
+    put(buf, g)
+    buf.array()
+  }
+
+  private def size(g: Geom): Int = g match {
+    case _: Pt          => 5 + 16
+    case Line(cs)       => 9 + 16 * cs.length
+    case Poly(rs)       => 9 + rs.map(r => 4 + 16 * r.length).sum
+    case MultiPt(cs)    => 9 + cs.length * (5 + 16)
+    case MultiLine(ls)  => 9 + ls.map(l => 9 + 16 * l.length).sum
+    case MultiPoly(ps)  => 9 + ps.map(rs => 9 + rs.map(r => 4 + 16 * r.length).sum).sum
+    case Collection(gs) => 9 + gs.map(size).sum
+  }
+
+  private def putCoord(buf: ByteBuffer, packed: Long): Unit = {
+    buf.putDouble(ScaledCoord.toDegrees(lngOf(packed)))
+    buf.putDouble(ScaledCoord.toDegrees(latOf(packed)))
+  }
+
+  private def put(buf: ByteBuffer, g: Geom): Unit = g match {
+    case Pt(lng, lat) =>
+      buf.put(1.toByte).putInt(1)
+      buf.putDouble(ScaledCoord.toDegrees(lng)).putDouble(ScaledCoord.toDegrees(lat))
+    case Line(cs) =>
+      buf.put(1.toByte).putInt(2).putInt(cs.length)
+      cs.foreach(putCoord(buf, _))
+    case Poly(rs) =>
+      buf.put(1.toByte).putInt(3).putInt(rs.length)
+      rs.foreach { r => buf.putInt(r.length); r.foreach(putCoord(buf, _)) }
+    case MultiPt(cs) =>
+      buf.put(1.toByte).putInt(4).putInt(cs.length)
+      cs.foreach { c => put(buf, Pt(lngOf(c), latOf(c))) }
+    case MultiLine(ls) =>
+      buf.put(1.toByte).putInt(5).putInt(ls.length)
+      ls.foreach(l => put(buf, Line(l)))
+    case MultiPoly(ps) =>
+      buf.put(1.toByte).putInt(6).putInt(ps.length)
+      ps.foreach(p => put(buf, Poly(p)))
+    case Collection(gs) =>
+      buf.put(1.toByte).putInt(7).putInt(gs.length)
+      gs.foreach(put(buf, _))
+  }
+
+  // --- decode ------------------------------------------------------------
+
+  def read(bytes: Array[Byte]): Geom = {
+    val buf = ByteBuffer.wrap(bytes)
+    readGeom(buf)
+  }
+
+  private def readGeom(buf: ByteBuffer): Geom = {
+    val order = buf.get()
+    buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val tpe = buf.getInt() & 0xFFFF // ignore SRID/dimension flags in high bits
+    tpe match {
+      case 1 =>
+        Pt(ScaledCoord.toScaled(buf.getDouble()), ScaledCoord.toScaled(buf.getDouble()))
+      case 2 => Line(readCoords(buf))
+      case 3 => Poly(readRings(buf))
+      case 4 =>
+        val n = buf.getInt()
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          readGeom(buf) match {
+            case Pt(lng, lat) => out(i) = pack(lng, lat)
+            case other        => throw new IllegalArgumentException(s"MultiPoint child: $other")
+          }
+          i += 1
+        }
+        MultiPt(out)
+      case 5 =>
+        val n = buf.getInt()
+        MultiLine(Vector.fill(n)(readGeom(buf) match {
+          case Line(cs) => cs
+          case other    => throw new IllegalArgumentException(s"MultiLineString child: $other")
+        }))
+      case 6 =>
+        val n = buf.getInt()
+        MultiPoly(Vector.fill(n)(readGeom(buf) match {
+          case Poly(rs) => rs
+          case other    => throw new IllegalArgumentException(s"MultiPolygon child: $other")
+        }))
+      case 7 =>
+        val n = buf.getInt()
+        Collection(Vector.fill(n)(readGeom(buf)))
+      case other => throw new IllegalArgumentException(s"unsupported WKB type $other")
+    }
+  }
+
+  private def readCoords(buf: ByteBuffer): Array[Long] = {
+    val n = buf.getInt()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = pack(ScaledCoord.toScaled(buf.getDouble()), ScaledCoord.toScaled(buf.getDouble()))
+      i += 1
+    }
+    out
+  }
+
+  private def readRings(buf: ByteBuffer): Vector[Array[Long]] = {
+    val n = buf.getInt()
+    Vector.fill(n)(readCoords(buf))
+  }
+
+  // --- static helpers for Catalyst StaticInvoke --------------------------
+
+  /** WKB of a point given scaled-int coords (used by the doc synthesizer). */
+  def pointWkb(lng: Int, lat: Int): Array[Byte] = write(Pt(lng, lat))
+
+  /** WKB of an axis-aligned rectangle polygon from scaled-int corners. */
+  def rectWkb(minLng: Int, minLat: Int, maxLng: Int, maxLat: Int): Array[Byte] = {
+    val ring = Array(
+      pack(minLng, minLat), pack(maxLng, minLat), pack(maxLng, maxLat),
+      pack(minLng, maxLat), pack(minLng, minLat))
+    write(Poly(Vector(ring)))
+  }
+
+  /** Envelope of a WKB blob as packed struct fields; see GraftFunctions. */
+  def envMinLng(wkb: Array[Byte]): Int = read(wkb).envelope.minLng
+  def envMinLat(wkb: Array[Byte]): Int = read(wkb).envelope.minLat
+  def envMaxLng(wkb: Array[Byte]): Int = read(wkb).envelope.maxLng
+  def envMaxLat(wkb: Array[Byte]): Int = read(wkb).envelope.maxLat
+
+  /** WKT debug formatting, mirroring `geometry/mod.rs:209-280`. */
+  def asText(g: Geom): String = {
+    def c(packed: Long) = s"${ScaledCoord.toDegrees(lngOf(packed))} ${ScaledCoord.toDegrees(latOf(packed))}"
+    def ring(r: Array[Long]) = r.map(c).mkString("(", ",", ")")
+    g match {
+      case Pt(lng, lat)   => s"POINT(${ScaledCoord.toDegrees(lng)} ${ScaledCoord.toDegrees(lat)})"
+      case Line(cs)       => s"LINESTRING${ring(cs)}"
+      case Poly(rs)       => s"POLYGON${rs.map(ring).mkString("(", ",", ")")}"
+      case MultiPt(cs)    => s"MULTIPOINT${ring(cs)}"
+      case MultiLine(ls)  => s"MULTILINESTRING${ls.map(ring).mkString("(", ",", ")")}"
+      case MultiPoly(ps)  => s"MULTIPOLYGON${ps.map(rs => rs.map(ring).mkString("(", ",", ")")).mkString("(", ",", ")")}"
+      case Collection(gs) => s"GEOMETRYCOLLECTION(${gs.map(asText).mkString(",")})"
+    }
+  }
+
+  def asTextBytes(wkb: Array[Byte]): String = asText(read(wkb))
+}
