@@ -1,0 +1,98 @@
+package graft.expr
+
+import graft.codec.DeltaZigZag
+import graft.curve.{Cells, Hilbert}
+import graft.geom.{PointInPolygon, ScaledCoord, Wkb}
+import graft.index.PackedRTree
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Arrays => JArrays, LinkedHashMap => JLinkedHashMap, Map => JMap}
+
+/** Static methods invoked from generated code via StaticInvoke; all
+  * non-primitive returns use Catalyst internal types (ArrayData /
+  * UTF8String / InternalRow). Geometry decode results are memoized
+  * per-thread so joins that repeatedly probe the same small build-side
+  * WKB blobs (or the same broadcast R-tree literal) parse each blob once
+  * per task, not once per row.
+  */
+object Adapters {
+
+  def scaleUp(degrees: Double): Int = ScaledCoord.toScaled(degrees)
+  def scaleDown(scaled: Int): Double = ScaledCoord.toDegrees(scaled)
+
+  def pointWkb(lng: Int, lat: Int): Array[Byte] = Wkb.pointWkb(lng, lat)
+  def rectWkb(minLng: Int, minLat: Int, maxLng: Int, maxLat: Int): Array[Byte] =
+    Wkb.rectWkb(minLng, minLat, maxLng, maxLat)
+
+  def hilbert(lng: Int, lat: Int, a: Int, b: Int, c: Int, d: Int): Long =
+    Hilbert.scaledHilbert(lng, lat, a, b, c, d)
+
+  def cellId(lng: Int, lat: Int, res: Int): Long = Cells.cellId(lng, lat, res)
+
+  def coverEnv(minLng: Int, minLat: Int, maxLng: Int, maxLat: Int, res: Int): ArrayData =
+    new GenericArrayData(Cells.cover(graft.geom.Envelope(minLng, minLat, maxLng, maxLat), res))
+
+  def coverWkb(wkb: Array[Byte], res: Int): ArrayData = {
+    val env = cachedGeom(wkb).envelope
+    new GenericArrayData(Cells.cover(env, res))
+  }
+
+  def kring(cell: Long, res: Int, k: Int): ArrayData =
+    new GenericArrayData(Cells.kRing(cell, res, k))
+
+  def envelope(wkb: Array[Byte]): InternalRow = {
+    val e = cachedGeom(wkb).envelope
+    new GenericInternalRow(Array[Any](e.minLng, e.minLat, e.maxLng, e.maxLat))
+  }
+
+  def asText(wkb: Array[Byte]): UTF8String = UTF8String.fromString(Wkb.asTextBytes(wkb))
+
+  def containsWkb(wkb: Array[Byte], lng: Int, lat: Int): Boolean =
+    PointInPolygon.containsGeom(cachedGeom(wkb), lng, lat)
+
+  def rtreeHits(treeBytes: Array[Byte], numLeaves: Long,
+                minLng: Int, minLat: Int, maxLng: Int, maxLat: Int): ArrayData =
+    new GenericArrayData(cachedTree(treeBytes, numLeaves).hits(minLng, minLat, maxLng, maxLat))
+
+  def dzEncode(ints: ArrayData): Array[Byte] = DeltaZigZag.encode(ints.toIntArray())
+  def dzDecode(bytes: Array[Byte]): ArrayData = new GenericArrayData(DeltaZigZag.decode(bytes))
+
+  // --- per-thread bounded memoization --------------------------------------
+
+  private final class Key(val bytes: Array[Byte]) {
+    override val hashCode: Int = JArrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: Key => JArrays.equals(bytes, k.bytes)
+      case _      => false
+    }
+  }
+
+  private def lru[V](max: Int) = new JLinkedHashMap[Key, V](64, 0.75f, true) {
+    override def removeEldestEntry(e: JMap.Entry[Key, V]): Boolean = size() > max
+  }
+
+  private val geomCache = ThreadLocal.withInitial(() => lru[Wkb.Geom](256))
+  private val treeCache = ThreadLocal.withInitial(() => lru[PackedRTree](8))
+
+  private def cachedGeom(wkb: Array[Byte]): Wkb.Geom = {
+    // tiny blobs (points, small rects) parse faster than they hash+probe;
+    // the cache exists for the repeated big build-side polygons
+    if (wkb.length <= 96) return Wkb.read(wkb)
+    val cache = geomCache.get()
+    val k = new Key(wkb)
+    var g = cache.get(k)
+    if (g == null) { g = Wkb.read(wkb); cache.put(k, g) }
+    g
+  }
+
+  private def cachedTree(bytes: Array[Byte], numLeaves: Long): PackedRTree = {
+    val cache = treeCache.get()
+    val k = new Key(bytes)
+    var t = cache.get(k)
+    if (t == null) { t = new PackedRTree(numLeaves, bytes); cache.put(k, t) }
+    t
+  }
+}

@@ -1,0 +1,150 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+/** Catalyst-native spatial/codec function surface (SURVEY.md §2.12).
+  *
+  * Every function lowers to a [[StaticInvoke]] of a pure static method —
+  * codegen-compatible (the generated code is a direct static call inside
+  * WholeStageCodegen, no Scala-UDF serialization or row boxing). Methods
+  * that return arrays/strings/structs go through [[Adapters]], which
+  * produce Catalyst internal types (ArrayData / UTF8String / InternalRow).
+  *
+  * DSL entry points return [[Column]]s; [[GraftFunctions.register]] also
+  * exposes them to SQL as `gm_*` / `st_*` names.
+  */
+object GraftFunctions {
+
+  private def inv(
+      cls: Class[_],
+      dt: DataType,
+      method: String,
+      args: Seq[Expression],
+      nullable: Boolean = false): Column =
+    GraftSqlShim.column(
+      StaticInvoke(cls, dt, method, args, inputTypes = Nil,
+        propagateNull = true, returnNullable = nullable))
+
+  // Spark 4 Columns wrap ColumnNodes; ExpressionUtils converts both ways.
+  private def ex(c: Column): Expression = GraftSqlShim.expression(c)
+
+  private val envStruct = StructType(Seq(
+    StructField("min_lng", IntegerType, nullable = false),
+    StructField("min_lat", IntegerType, nullable = false),
+    StructField("max_lng", IntegerType, nullable = false),
+    StructField("max_lat", IntegerType, nullable = false)))
+
+  private def i(c: Column) = ex(c.cast(IntegerType))
+  private def l(c: Column) = ex(c.cast(LongType))
+
+  // --- coordinate codec (F8: truncating quantization) ----------------------
+
+  /** degrees -> scaled i32, truncating toward zero (geometry/mod.rs:295-297). */
+  def stScaleUp(degrees: Column): Column =
+    inv(Adapters.getClass, IntegerType, "scaleUp", Seq(ex(degrees.cast(DoubleType))))
+
+  /** scaled i32 -> degrees. */
+  def stScaleDown(scaled: Column): Column =
+    inv(Adapters.getClass, DoubleType, "scaleDown", Seq(i(scaled)))
+
+  // --- geometry construction / inspection ---------------------------------
+
+  def stPointWkb(lng: Column, lat: Column): Column =
+    inv(Adapters.getClass, BinaryType, "pointWkb", Seq(i(lng), i(lat)))
+
+  def stRectWkb(minLng: Column, minLat: Column, maxLng: Column, maxLat: Column): Column =
+    inv(Adapters.getClass, BinaryType, "rectWkb", Seq(i(minLng), i(minLat), i(maxLng), i(maxLat)))
+
+  /** bbox of any WKB geometry as struct(min_lng,min_lat,max_lng,max_lat). */
+  def stEnvelope(wkb: Column): Column =
+    inv(Adapters.getClass, envStruct, "envelope", Seq(ex(wkb)))
+
+  def stAsText(wkb: Column): Column =
+    inv(Adapters.getClass, StringType, "asText", Seq(ex(wkb)))
+
+  /** Exact point-in-polygon (closed boundary) against a WKB geometry. */
+  def stContains(polyWkb: Column, lng: Column, lat: Column): Column =
+    inv(Adapters.getClass, BooleanType, "containsWkb", Seq(ex(polyWkb), i(lng), i(lat)))
+
+  /** Closed-interval bbox intersection as a plain codegen'd conjunction —
+    * deliberately NOT a black-box expression so Catalyst can push the four
+    * comparisons into the Parquet scan (SURVEY.md §4 "predicate pushdown").
+    */
+  def stBBoxIntersects(
+      aMinLng: Column, aMinLat: Column, aMaxLng: Column, aMaxLat: Column,
+      bMinLng: Column, bMinLat: Column, bMaxLng: Column, bMaxLat: Column): Column =
+    aMaxLng >= bMinLng && aMaxLat >= bMinLat && aMinLng <= bMaxLng && aMinLat <= bMaxLat
+
+  // --- curve / cells -------------------------------------------------------
+
+  /** Hilbert key of a point relative to a dataset extent (O2+O3). */
+  def gmHilbert(lng: Column, lat: Column,
+                extMinLng: Column, extMinLat: Column, extMaxLng: Column, extMaxLat: Column): Column =
+    inv(Adapters.getClass, LongType, "hilbert",
+      Seq(i(lng), i(lat), i(extMinLng), i(extMinLat), i(extMaxLng), i(extMaxLat)))
+
+  /** Grid cell id at resolution res (H3/S2 analog, SURVEY.md §2.11). */
+  def gmCell(lng: Column, lat: Column, res: Int): Column =
+    inv(Adapters.getClass, LongType, "cellId", Seq(i(lng), i(lat), ex(lit(res))))
+
+  /** All cells intersecting an envelope. */
+  def gmCellCover(minLng: Column, minLat: Column, maxLng: Column, maxLat: Column, res: Int): Column =
+    inv(Adapters.getClass, ArrayType(LongType, containsNull = false), "coverEnv",
+      Seq(i(minLng), i(minLat), i(maxLng), i(maxLat), ex(lit(res))))
+
+  def gmKRing(cell: Column, res: Int, k: Column): Column =
+    inv(Adapters.getClass, ArrayType(LongType, containsNull = false), "kring",
+      Seq(l(cell), ex(lit(res)), i(k)))
+
+  def gmTile(lng: Column, lat: Column, zoom: Int): Column =
+    inv(Adapters.getClass, LongType, "cellId", Seq(i(lng), i(lat), ex(lit(zoom))))
+
+  // --- broadcast packed R-tree probe ---------------------------------------
+
+  /** Indices (payloadHi) of build-side rows whose envelope intersects the
+    * probe envelope, via the packed R-tree serialized into `treeBytes`
+    * (a literal: the build side is small / broadcast by construction).
+    */
+  def rtreeHits(treeBytes: Array[Byte], numLeaves: Long,
+                minLng: Column, minLat: Column, maxLng: Column, maxLat: Column): Column =
+    inv(Adapters.getClass, ArrayType(LongType, containsNull = false), "rtreeHits",
+      Seq(ex(lit(treeBytes)), ex(lit(numLeaves)), i(minLng), i(minLat), i(maxLng), i(maxLat)))
+
+  // --- compact codecs (delta + zigzag varint) ------------------------------
+
+  def gmDzEncode(ints: Column): Column =
+    inv(Adapters.getClass, BinaryType, "dzEncode", Seq(ex(ints)))
+
+  def gmDzDecode(bytes: Column): Column =
+    inv(Adapters.getClass, ArrayType(IntegerType, containsNull = false), "dzDecode", Seq(ex(bytes)))
+
+  // --- SQL registration -----------------------------------------------------
+
+  /** Register all functions for SQL use (`SELECT gm_cell(lng, lat, 6)`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    def si(dt: DataType, m: String)(args: Seq[Expression]) =
+      StaticInvoke(Adapters.getClass, dt, m, args, Nil, propagateNull = true, returnNullable = false)
+
+    f("st_scale_up", a => si(IntegerType, "scaleUp")(a))
+    f("st_scale_down", a => si(DoubleType, "scaleDown")(a))
+    f("st_point_wkb", a => si(BinaryType, "pointWkb")(a))
+    f("st_rect_wkb", a => si(BinaryType, "rectWkb")(a))
+    f("st_envelope", a => si(envStruct, "envelope")(a))
+    f("st_astext", a => si(StringType, "asText")(a))
+    f("st_contains", a => si(BooleanType, "containsWkb")(a))
+    f("gm_hilbert", a => si(LongType, "hilbert")(a))
+    f("gm_cell", a => si(LongType, "cellId")(a))
+    f("gm_cell_cover", a => si(ArrayType(LongType, containsNull = false), "coverEnv")(a))
+    f("gm_cell_cover_wkb", a => si(ArrayType(LongType, containsNull = false), "coverWkb")(a))
+    f("gm_kring", a => si(ArrayType(LongType, containsNull = false), "kring")(a))
+    f("gm_dz_encode", a => si(BinaryType, "dzEncode")(a))
+    f("gm_dz_decode", a => si(ArrayType(IntegerType, containsNull = false), "dzDecode")(a))
+  }
+}

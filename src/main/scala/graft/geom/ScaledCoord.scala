@@ -17,4 +17,12 @@ object ScaledCoord {
 
   /** scaled int -> degrees. */
   def toDegrees(scaled: Int): Double = scaled / CoordScaleFactor
+
+  /** degrees -> scaled int, rounding to nearest. This is the exact inverse
+    * of [[toDegrees]] for any int (|error| of toDegrees(i)*1e7 vs i is
+    * < 0.5 units), used when decoding OUR OWN encoded WKB so coordinates
+    * roundtrip bit-exactly. Quantization of *external* degree input keeps
+    * the reference's truncation semantics ([[toScaled]]).
+    */
+  def roundScaled(degrees: Double): Int = Math.round(degrees * CoordScaleFactor).toInt
 }

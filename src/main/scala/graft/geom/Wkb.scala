@@ -112,7 +112,7 @@ object Wkb {
     val tpe = buf.getInt() & 0xFFFF // ignore SRID/dimension flags in high bits
     tpe match {
       case 1 =>
-        Pt(ScaledCoord.toScaled(buf.getDouble()), ScaledCoord.toScaled(buf.getDouble()))
+        Pt(ScaledCoord.roundScaled(buf.getDouble()), ScaledCoord.roundScaled(buf.getDouble()))
       case 2 => Line(readCoords(buf))
       case 3 => Poly(readRings(buf))
       case 4 =>
@@ -151,7 +151,7 @@ object Wkb {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      out(i) = pack(ScaledCoord.toScaled(buf.getDouble()), ScaledCoord.toScaled(buf.getDouble()))
+      out(i) = pack(ScaledCoord.roundScaled(buf.getDouble()), ScaledCoord.roundScaled(buf.getDouble()))
       i += 1
     }
     out

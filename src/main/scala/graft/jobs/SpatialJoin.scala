@@ -1,0 +1,95 @@
+package graft.jobs
+
+import graft.expr.GraftFunctions._
+import graft.geom.Envelope
+import graft.index.PackedRTree
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed spatial join: points (probe, huge) x polygons (build, small
+  * or moderate). Three physical strategies over identical semantics
+  * (closed-boundary point-in-polygon — results must be identical; the
+  * brute-force cross join is the test oracle):
+  *
+  *  1. [[cellJoin]] — both sides keyed by grid cell (H3/S2 analog,
+  *     SURVEY.md §2.11): polygons explode to their cell cover, points map
+  *     to one cell, equi-join on cell, exact ST_Contains refinement. The
+  *     cell key makes the join a plain hash/broadcast equi-join Catalyst
+  *     can plan and AQE can re-balance; no theta-join cross product.
+  *  2. [[rtreeJoin]] — the reference's packed-R-tree path (SURVEY.md §2.10):
+  *     tree built once on the driver over build-side envelopes
+  *     (writer: packed_r_tree/writer.rs:41-84), shipped to executors as a
+  *     literal byte blob, probed per row (reader: packed_r_tree/reader.rs:
+  *     25-49) producing candidate indices, then exact refinement. No
+  *     shuffle of the probe side at all.
+  *  3. [[saltedCellJoin]] — cellJoin with the hot-cell skew handled
+  *     explicitly: build rows replicate x saltFactor, probe rows pick a
+  *     deterministic salt, so one hot cell spreads over saltFactor tasks
+  *     (north_rule requires explicit skew handling; AQE skew join remains
+  *     on as backstop).
+  *
+  * Points DF contract: columns (lng, lat) scaled ints + carried columns.
+  * Polys DF contract: (poly_id, poly_wkb, p_min_lng, p_min_lat, p_max_lng,
+  * p_max_lat).
+  */
+object SpatialJoin {
+
+  val DefaultRes = 4
+
+  private def refined(joined: DataFrame): DataFrame =
+    joined.where(stContains(col("poly_wkb"), col("lng"), col("lat")))
+
+  /** Strategy 1: cell-cover equi-join (broadcast the exploded build side). */
+  def cellJoin(points: DataFrame, polys: DataFrame, res: Int = DefaultRes): DataFrame = {
+    val polyCells = polys.withColumn("cell",
+      explode(gmCellCover(col("p_min_lng"), col("p_min_lat"), col("p_max_lng"), col("p_max_lat"), res)))
+    val pts = points.withColumn("cell", gmCell(col("lng"), col("lat"), res))
+    refined(pts.join(broadcast(polyCells), Seq("cell"), "inner")).drop("cell")
+  }
+
+  /** Strategy 2: broadcast packed R-tree probe (no shuffle of either side). */
+  def rtreeJoin(points: DataFrame, polys: DataFrame): DataFrame = {
+    val build = polys.select("poly_id", "p_min_lng", "p_min_lat", "p_max_lng", "p_max_lat")
+      .collect()
+    // leaves in Hilbert-descending order of envelope centers, matching the
+    // reference's layout invariant (writer/mod.rs:77-82)
+    val ext = build.foldLeft(Envelope.empty)((e, r) =>
+      e.union(Envelope(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+    val leaves = build.map { r =>
+      val env = Envelope(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      (env, r.getLong(0), graft.curve.Hilbert.scaled(env.centerLng, env.centerLat, ext))
+    }.sortBy(-_._3).map { case (env, id, _) => (env, id, 0) }.toIndexedSeq
+    val treeBytes = PackedRTree.build(leaves)
+    val pts = points.withColumn("poly_id",
+      explode(rtreeHits(treeBytes, leaves.length.toLong,
+        col("lng"), col("lat"), col("lng"), col("lat"))))
+    refined(pts.join(broadcast(polys), Seq("poly_id"), "inner"))
+  }
+
+  /** Strategy 3: salted cell join for skewed hot cells. Identical output to
+    * [[cellJoin]]; the salt only spreads the shuffle/probe work.
+    */
+  def saltedCellJoin(points: DataFrame, polys: DataFrame,
+                     res: Int = DefaultRes, saltFactor: Int = 8): DataFrame = {
+    val polyCells = polys
+      .withColumn("cell",
+        explode(gmCellCover(col("p_min_lng"), col("p_min_lat"), col("p_max_lng"), col("p_max_lat"), res)))
+      .withColumn("salt", explode(lit((0 until saltFactor).toArray)))
+    val pts = points
+      .withColumn("cell", gmCell(col("lng"), col("lat"), res))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltFactor)).cast("int"))
+    refined(pts.join(polyCells, Seq("cell", "salt"), "inner")).drop("cell", "salt")
+  }
+
+  /** Test oracle: brute-force cross join + exact predicate (tiny scale only). */
+  def bruteForce(points: DataFrame, polys: DataFrame): DataFrame =
+    refined(points.crossJoin(polys))
+
+  /** bbox semi-join analog of the reference's select_bbox (S5): points whose
+    * envelope intersects the query rect, closed-interval (bounds.rs:101-119).
+    */
+  def bboxFilter(docsGeo: DataFrame, q: Envelope): DataFrame =
+    docsGeo.where(
+      col("max_lng") >= q.minLng && col("max_lat") >= q.minLat &&
+        col("min_lng") <= q.maxLng && col("min_lat") <= q.maxLat)
+}

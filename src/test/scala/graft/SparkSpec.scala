@@ -1,0 +1,126 @@
+package graft
+
+import graft.expr.GraftFunctions
+import graft.geom.Envelope
+import graft.jobs.{Ingest, Knn, SpatialJoin}
+import graft.table.InterleavedDocs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparkSpec extends AnyFunSuite {
+  val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
+    s
+  }
+
+  lazy val docs: DataFrame = InterleavedDocs.docs(spark, Sf).cache()
+  lazy val geo: DataFrame = InterleavedDocs.withGeometry(docs).cache()
+  lazy val rects: DataFrame = InterleavedDocs.nationRects(spark, Sf)
+
+  private def rows(df: DataFrame, cols: String*): Set[Seq[Any]] =
+    df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+
+  test("docs table matches input_hint shape and is non-empty") {
+    assert(docs.columns.toSeq == Seq("doc_id", "spans"))
+    val spanType = docs.schema("spans").dataType.simpleString
+    assert(spanType == "array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    assert(docs.count() > 0)
+  }
+
+  test("geometry parses out of the geom span; WKB roundtrip is exact vs integer formulas") {
+    val raw = InterleavedDocs.raw(spark, Sf)
+    val expected = raw.select(
+      format_string("doc-%09d", col("doc_id")).as("doc_id"),
+      InterleavedDocs.lngOf(col("doc_id")).cast("int").as("lng"),
+      InterleavedDocs.latOf(col("doc_id")).cast("int").as("lat"))
+    assert(rows(geo, "doc_id", "lng", "lat") == rows(expected, "doc_id", "lng", "lat"))
+  }
+
+  test("all three spatial-join strategies equal brute force (incl. skewed hot cell)") {
+    val brute = rows(SpatialJoin.bruteForce(geo, rects), "poly_id", "doc_id")
+    assert(brute.nonEmpty)
+    assert(rows(SpatialJoin.cellJoin(geo, rects), "poly_id", "doc_id") == brute)
+    assert(rows(SpatialJoin.rtreeJoin(geo, rects), "poly_id", "doc_id") == brute)
+    assert(rows(SpatialJoin.saltedCellJoin(geo, rects), "poly_id", "doc_id") == brute)
+    // skew exists: hot rect holds ~90% of docs
+    val top = SpatialJoin.cellJoin(geo, rects).groupBy("poly_id").count()
+      .orderBy(col("count").desc).head()
+    assert(top.getLong(1) > geo.count() / 2)
+  }
+
+  test("span-sequence invariant: join output spans equal input spans per doc_id") {
+    val out = SpatialJoin.cellJoin(geo, rects).select("doc_id", "spans")
+    val in = docs.withColumnRenamed("spans", "spans_in")
+    val mismatches = out.join(in, "doc_id")
+      .where(not(col("spans") === col("spans_in")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("kNN cell-ring expansion equals brute force") {
+    val queries = InterleavedDocs.nationQueryPoints(spark, Sf)
+    val a = rows(Knn.knn(geo, queries, 3), "query_id", "rank", "doc_id")
+    val b = rows(Knn.bruteForce(geo, queries, 3), "query_id", "rank", "doc_id")
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("bbox filter equals brute-force predicate and respects closed intervals") {
+    val q = Envelope(-1183000000, 335000000, -1170000000, 345000000)
+    val got = rows(SpatialJoin.bboxFilter(geo, q), "doc_id")
+    val brute = rows(geo.where(
+      col("lng") >= q.minLng && col("lng") <= q.maxLng &&
+        col("lat") >= q.minLat && col("lat") <= q.maxLat), "doc_id")
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("ingest layout: hilbert descending across and within partitions; lineage sums match") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val lineage = Ingest.write(geo, out, numPartitions = 4)
+    val written = spark.read.parquet(s"$out/docs")
+    assert(written.count() == geo.count())
+    // descending hilbert order within each file
+    val disorder = written
+      .withColumn("file", input_file_name())
+      .withColumn("prev", lag("hilbert", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("file").orderBy(monotonically_increasing_id())))
+      .where(col("prev").isNotNull && col("prev") < col("hilbert"))
+    assert(disorder.count() == 0)
+    // lineage covers all rows exactly once
+    assert(lineage.agg(sum("rows")).head().getLong(0) == geo.count())
+    // resume: nothing pending after a full run
+    val g = Ingest.withHilbert(geo, Ingest.extent(geo))
+    assert(Ingest.pendingAfter(g, lineage).count() == 0)
+  }
+
+  test("SQL registration: gm_/st_ functions usable from spark.sql") {
+    val r = spark.sql(
+      """SELECT gm_cell(-1182562000, 341060000, 4) AS cell,
+        |       st_contains(st_rect_wkb(-1190000000, 340000000, -1180000000, 342000000),
+        |                   -1182562000, 341060000) AS hit,
+        |       gm_hilbert(5000000, 5000000, 0, 0, 30000000, 30000000) AS h,
+        |       gm_dz_decode(gm_dz_encode(array(1, 2, 3)))[1] AS two
+        |""".stripMargin).head()
+    assert(r.getAs[Boolean]("hit"))
+    assert(r.getAs[Long]("h") == 143165576L)
+    assert(r.getAs[Int]("two") == 2)
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries key") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
