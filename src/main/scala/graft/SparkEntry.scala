@@ -2,7 +2,7 @@ package graft
 
 import graft.expr.GraftFunctions._
 import graft.geom.Envelope
-import graft.jobs.{Ingest, Knn, SpatialJoin, Tiles}
+import graft.jobs.{Dedup, Ingest, Knn, Media, Similarity, SpatialJoin, TextOps, Tiles}
 import graft.table.InterleavedDocs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -155,6 +155,95 @@ object SparkEntry {
         .where(col("rank") <= 3)
         .select(col("user_id"), col("rank").cast("long").as("rank"), col("event_id"), col("value"))
         .orderBy("user_id", "rank")
+    }),
+
+    // --- training-data pipeline ops ---------------------------------------
+
+    // exact dedup: hash groups with canonical member
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Dedup.corpusWithDups(s, dir))
+        .select(col("text_md5"), col("n"), col("canonical_id").cast("long").as("canonical_id"))
+        .orderBy("text_md5")
+    }),
+
+    // n-gram Jaccard near-dup pairs (threshold 0.6)
+    "q31_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccard(Dedup.corpusWithDups(s, dir), 6000)
+        .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
+          col("jacc_x10000"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash+LSH banding candidates, Jaccard-verified (rows-only; recall
+    // asserted against injected near-dups in the test suite)
+    "q32_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLsh(Dedup.corpusWithDups(s, dir), 6000)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"), col("jacc_x10000"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs, hamming <= 3 (rows-only; equals brute force
+    // by pigeonhole blocking — asserted in tests)
+    "q33_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Dedup.corpusWithDups(s, dir))
+        .select(col("id_a").cast("long"), col("id_b").cast("long"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // embedding-cosine near-dup pairs (exact values, scaled-int output)
+    "q34_embed_cosine_pairs" -> ((s, dir) => {
+      Similarity.cosinePairs(
+          s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),
+          thresholdX10000 = 4000, dim = 64, bruteForce = true)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // brute-force cosine top-k (ANN baseline)
+    "q35_sim_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+      val q = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.bruteTopK(e, q, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN top-k (rows-only; recall vs brute asserted in tests)
+    "q36_sim_lsh" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+      val q = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.lshTopK(e, q, k = 5, dim = 64, numPlanes = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // text stats: token counts, quality scores (scaled ints)
+    "q37_text_stats" -> ((s, dir) => {
+      TextOps.stats(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic
+    "q38_text_langid" -> ((s, dir) => {
+      TextOps.langId(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprints (rolling + winnowing min-shingle; rows-only)
+    "q39_fingerprints" -> ((s, dir) => {
+      TextOps.fingerprints(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal plumbing: media table metadata (decode is a marked stub;
+    // features covered in tests)
+    "q40_media_meta" -> ((s, dir) => {
+      Media.extractFeatures(Media.mediaTable(s, dir), partitions = 8)
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes").cast("long").as("n_bytes"))
+        .orderBy("doc_id")
     })
   )
 
@@ -236,6 +325,87 @@ object SparkEntry {
       """SELECT user_id, CAST(rank AS BIGINT) AS rank, event_id, value FROM (
         |  SELECT user_id, event_id, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
-        |  FROM events) WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin
+        |  FROM events) WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+
+    "q30_dedup_exact" ->
+      s"""WITH $C SELECT md5(text) AS text_md5, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS canonical_id
+         |FROM corpus GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin,
+
+    "q31_dedup_ngram" ->
+      s"""WITH $C, $S,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT CAST(cm.id_a AS BIGINT) AS id_a, CAST(cm.id_b AS BIGINT) AS id_b,
+         |       CAST(floor(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) * 10000) AS BIGINT) AS jacc_x10000
+         |FROM cm JOIN sz sa ON sa.doc_id = cm.id_a JOIN sz sb ON sb.doc_id = cm.id_b
+         |WHERE CAST(floor(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) * 10000) AS BIGINT) >= 6000
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q34_embed_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+        |       CAST(floor(list_dot_product(a.emb, b.emb)
+        |            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        |            * 10000) AS BIGINT) AS cos_x10000
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE floor(list_dot_product(a.emb, b.emb)
+        |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        |      * 10000) >= 4000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q35_sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id % 50 = 0),
+        |d AS (SELECT q.query_id, e.vec_id,
+        |             list_dot_product(e.emb, q.q_emb)
+        |             / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cos
+        |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM d)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q37_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_split_to_array(text, '[^a-zA-Z0-9]+')) AS BIGINT) AS n_tokens_re,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000) AS BIGINT) AS distinct_ratio_x10000,
+        |  CAST(floor(CAST(length(text) AS DOUBLE)
+        |       / CAST(len(string_split(text, ' ')) AS DOUBLE) * 100) AS BIGINT) AS mean_tok_len_x100,
+        |  CAST(floor(CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of')) AS DOUBLE)
+        |       / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000) AS BIGINT) AS stopword_ratio_x10000
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q38_text_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN text LIKE '% the %' OR text LIKE 'the %' THEN 'en'
+        |       WHEN text LIKE '% le %' OR text LIKE '% la %' THEN 'fr'
+        |       WHEN text LIKE '% der %' OR text LIKE '% und %' THEN 'de'
+        |       WHEN text LIKE '% el %' OR text LIKE '% los %' THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_media_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(16 * (n_chars // 50 + 1) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  private val C = Dedup.OracleSqlCorpus
+
+  /** DuckDB shingle CTE matching [[Dedup.shingles]] (distinct word trigrams). */
+  private val S: String =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) >= 3
+      |         THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS sh
+      |  FROM corpus
+      |)""".stripMargin
 }

@@ -60,6 +60,85 @@ object Adapters {
   def dzEncode(ints: ArrayData): Array[Byte] = DeltaZigZag.encode(ints.toIntArray())
   def dzDecode(bytes: Array[Byte]): ArrayData = new GenericArrayData(DeltaZigZag.decode(bytes))
 
+  // --- text fingerprints (training-data pipeline ops) ----------------------
+
+  /** 64-bit SimHash over a token array: each token hashed (FNV-1a 64),
+    * per-bit +/-1 vote, sign -> bit. Near-duplicate docs differ in few bits;
+    * pairs are blocked on 16-bit chunks (4 chunks: hamming<=3 implies at
+    * least one identical chunk, so the blocking join is lossless).
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = fnv1a(tokens.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Rolling polynomial document fingerprint (content-defined, mod 2^61-1):
+    * stable under re-encoding, order-sensitive — the whole-doc analog of the
+    * reference's per-feature byte identity.
+    */
+  def fingerprint(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val M = (1L << 61) - 1
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = mulMod61(h, 257L) + (bytes(i) & 0xFF) + 1
+      if (h >= M) h -= M
+      i += 1
+    }
+    h
+  }
+
+  /** Winnowing-style min-fingerprint over byte 16-gram windows — equal for
+    * docs sharing their minimal window, a locality-sensitive doc signature.
+    */
+  def minShingleFingerprint(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    if (bytes.length < 16) return fingerprint(text)
+    var minFp = Long.MaxValue
+    var i = 0
+    while (i + 16 <= bytes.length) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + 16) { h ^= (bytes(j) & 0xFF); h *= 0x100000001b3L; j += 1 }
+      val v = h & Long.MaxValue
+      if (v < minFp) minFp = v
+      i += 1
+    }
+    minFp
+  }
+
+  private def fnv1a(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xFF); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def mulMod61(a: Long, b: Long): Long = {
+    // (a*b) mod 2^61-1 without overflow via 128-bit split
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val M = (1L << 61) - 1
+    var r = (lo & M) + ((lo >>> 61) | (hi << 3))
+    if (r >= M) r -= M
+    r
+  }
+
   // --- per-thread bounded memoization --------------------------------------
 
   private final class Key(val bytes: Array[Byte]) {

@@ -122,6 +122,17 @@ object GraftFunctions {
   def gmDzDecode(bytes: Column): Column =
     inv(Adapters.getClass, ArrayType(IntegerType, containsNull = false), "dzDecode", Seq(ex(bytes)))
 
+  // --- text fingerprints ----------------------------------------------------
+
+  def gmSimhash(tokens: Column): Column =
+    inv(Adapters.getClass, LongType, "simhash", Seq(ex(tokens)))
+
+  def gmFingerprint(text: Column): Column =
+    inv(Adapters.getClass, LongType, "fingerprint", Seq(ex(text.cast(StringType))))
+
+  def gmMinShingleFp(text: Column): Column =
+    inv(Adapters.getClass, LongType, "minShingleFingerprint", Seq(ex(text.cast(StringType))))
+
   // --- SQL registration -----------------------------------------------------
 
   /** Register all functions for SQL use (`SELECT gm_cell(lng, lat, 6)`). */
@@ -146,5 +157,8 @@ object GraftFunctions {
     f("gm_kring", a => si(ArrayType(LongType, containsNull = false), "kring")(a))
     f("gm_dz_encode", a => si(BinaryType, "dzEncode")(a))
     f("gm_dz_decode", a => si(ArrayType(IntegerType, containsNull = false), "dzDecode")(a))
+    f("gm_simhash", a => si(LongType, "simhash")(a))
+    f("gm_fingerprint", a => si(LongType, "fingerprint")(a))
+    f("gm_min_shingle_fp", a => si(LongType, "minShingleFingerprint")(a))
   }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import graft.jobs.{Dedup, Media, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  lazy val corpus: DataFrame = Dedup.corpusWithDups(spark, Sf).cache()
+  lazy val embeddings: DataFrame =
+    spark.read.parquet(s"$Sf/embeddings.parquet").select("vec_id", "embedding").cache()
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup finds exactly the injected duplicate groups") {
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    val groups = Dedup.exact(corpus).collect()
+    // every 5th doc injected as an exact duplicate; all base texts distinct
+    assert(groups.length == (0L until nDocs).count(_ % 5 == 0))
+    assert(groups.forall(_.getLong(1) == 2)) // n = 2 per group
+    // canonical member is the original (min id)
+    assert(groups.forall(_.getLong(2) < 1000000L))
+  }
+
+  test("ngram jaccard recovers every injected near-duplicate pair") {
+    val got = pairs(Dedup.ngramJaccard(corpus, 6000))
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    val expectedNear = (0L until nDocs).filter(_ % 7 == 0).map(i => (i, i + 2000000L)).toSet
+    val expectedExact = (0L until nDocs).filter(_ % 5 == 0).map(i => (i, i + 1000000L)).toSet
+    assert(expectedNear.subsetOf(got), "near-dups (1 appended token) must clear jaccard 0.6")
+    assert(expectedExact.subsetOf(got), "exact dups have jaccard 1.0")
+  }
+
+  test("minhash LSH (verified) is a subset of true jaccard pairs and recovers injected dups") {
+    val truth = pairs(Dedup.ngramJaccard(corpus, 6000))
+    val lsh = pairs(Dedup.minhashLsh(corpus, 6000))
+    assert(lsh.subsetOf(truth))
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    val injected = (0L until nDocs).filter(_ % 5 == 0).map(i => (i, i + 1000000L)).toSet ++
+      (0L until nDocs).filter(_ % 7 == 0).map(i => (i, i + 2000000L)).toSet
+    assert(injected.subsetOf(lsh), "32-hash/8-band LSH must catch jaccard >= 0.6 injected pairs")
+    // recall on this corpus (deterministic): report-and-floor
+    assert(lsh.size.toDouble / truth.size >= 0.95)
+  }
+
+  test("simhash chunk-blocked pairs equal brute-force hamming join") {
+    val blocked = Dedup.simhashPairs(corpus, 3).select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val brute = Dedup.simhashBrute(corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(blocked == brute)
+    // exact duplicates have hamming 0
+    assert(blocked.exists { case (a, b, h) => b == a + 1000000L && h == 0L })
+  }
+
+  test("LSH ANN recall vs brute-force top-k") {
+    val q = embeddings.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val brute = Similarity.bruteTopK(embeddings, q, 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(embeddings, q, 5, 64, numPlanes = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    info(s"ANN recall@5 = $recall (${ann.size} returned)")
+    assert(recall >= 0.5, s"recall $recall below floor")
+  }
+
+  test("cosinePairs LSH-candidates is a subset of brute force with identical values") {
+    val brute = Similarity.cosinePairs(embeddings, 4000, 64, bruteForce = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = Similarity.cosinePairs(embeddings, 4000, 64, bruteForce = false, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lsh.subsetOf(brute))
+    assert(brute.nonEmpty)
+  }
+
+  test("text stats are consistent") {
+    val all = TextOps.stats(corpus).cache()
+    assert(all.where(col("n_distinct") > col("n_tokens")).count() == 0)
+    assert(all.where(col("distinct_ratio_x10000") > 10000).count() == 0)
+    // n_chars recomputation agrees with the source table's n_chars column
+    val src = spark.read.parquet(s"$Sf/documents.parquet").select(col("doc_id"), col("n_chars").as("n_chars_src"))
+    assert(all.join(src, "doc_id").where(col("n_chars") =!= col("n_chars_src")).count() == 0)
+    // langid emits a prediction for every row
+    assert(TextOps.langId(corpus).where(col("lang_pred").isNull).count() == 0)
+  }
+
+  test("fingerprints: deterministic, order-sensitive, dup-preserving") {
+    val fp = TextOps.fingerprints(corpus)
+    // pair each ORIGINAL doc with its exact duplicate (id + 1_000_000);
+    // restrict the left side to originals so near-dup ids don't alias in
+    val joined = fp.as("a").join(fp.as("b"),
+      col("a.doc_id") < 1000000L && col("a.doc_id") + 1000000L === col("b.doc_id"))
+    // exact duplicate docs share both fingerprints
+    assert(joined.where(col("a.fp") =!= col("b.fp")).count() == 0)
+    assert(joined.where(col("a.min_shingle_fp") =!= col("b.min_shingle_fp")).count() == 0)
+    // order sensitivity of the rolling hash
+    val x = graft.expr.Adapters.fingerprint(org.apache.spark.unsafe.types.UTF8String.fromString("a b"))
+    val y = graft.expr.Adapters.fingerprint(org.apache.spark.unsafe.types.UTF8String.fromString("b a"))
+    assert(x != y)
+  }
+
+  test("media pipeline: stub decode is deterministic with correct schema and batching") {
+    val media = Media.mediaTable(spark, Sf)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val f1 = Media.extractFeatures(media, 8)
+    val f2 = Media.extractFeatures(media, 3) // different partitioning, same rows
+    assert(f1.count() == media.count())
+    val a = f1.collect().map(r => (r.doc_id, r.feature_sum_x1000, r.n_bytes, r.feature.toSeq)).toSet
+    val b = f2.collect().map(r => (r.doc_id, r.feature_sum_x1000, r.n_bytes, r.feature.toSeq)).toSet
+    assert(a == b, "features must not depend on partitioning")
+    assert(a.forall(_._4.length == 8))
+  }
+}
