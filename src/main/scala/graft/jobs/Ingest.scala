@@ -64,6 +64,8 @@ object Ingest {
       .option("compression", "zstd")
       .parquet(s"$outDir/docs")
     val lineage = spark.read.parquet(s"$outDir/docs")
+      // explicit projection: the stats scan must never deserialize spans
+      .select("doc_id", "hilbert", "min_lng", "min_lat", "max_lng", "max_lat")
       .groupBy(input_file_name().as("file"))
       .agg(
         count(lit(1)).as("rows"),

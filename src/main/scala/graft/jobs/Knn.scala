@@ -2,79 +2,79 @@ package graft.jobs
 
 import graft.curve.Cells
 import graft.expr.GraftFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** kNN via cell-ring expansion (SURVEY.md §2.11): for each query point,
-  * probe candidates from the grid cells within Chebyshev ring `r` of the
-  * query's cell, and widen `r` (doubling) until the k-th best candidate is
-  * provably closer than anything outside the ring.
+/** Exact kNN via cell-ring expansion (SURVEY.md §2.11), planned in two
+  * Spark jobs:
   *
-  * Completeness argument: a point whose cell is at Chebyshev cell-distance
-  * > r from the query cell is at least r * min(cellW, cellH) away in
-  * scaled units, so once the k-th candidate distance is strictly below
-  * that bound (or the ring covers the whole grid) the top-k is final.
+  *  1. per-cell doc counts (one groupBy over <= 4^res cells) are collected
+  *     to the driver — the moral equivalent of the reference's packed
+  *     R-tree level: a tiny summary that prunes the probe;
+  *  2. for each query the driver widens a Chebyshev ring over those counts
+  *     until it provably contains k candidates, then inflates it to the
+  *     exclusion-safe radius R with R*minDim >= (r+1)*sqrt(cw^2+ch^2)
+  *     (any point outside ring R is farther than every point inside ring
+  *     r), and a single cell equi-join + per-query window top-k finishes.
   *
-  * The query side is small (it is broadcast); the doc side is only ever
-  * touched through a cell equi-join — no cross product, no full sort.
-  * Distances are squared Euclidean in scaled-int space computed in double
-  * (dx*dx + dy*dy, exact IEEE ordering reproducible by the DuckDB oracle);
-  * ties break on doc_id for determinism.
+  * No driver loop of Spark jobs, no iterative re-scans: the doc side is
+  * touched exactly twice regardless of k or data skew. Distances are
+  * squared Euclidean in scaled-int space computed in double (dx*dx +
+  * dy*dy, IEEE-reproducible by the DuckDB oracle); ties break on doc_id.
   */
 object Knn {
 
   val DefaultRes = 4
 
   /** points: (doc_id, lng, lat, ...); queries: (query_id, q_lng, q_lat).
-    * Returns (query_id, rank, doc_id, dist2), rank 1..k.
+    * Returns (query_id, rank, doc_id, dist2), rank 1..k. Exact.
     */
   def knn(points: DataFrame, queries: DataFrame, k: Int, res: Int = DefaultRes): DataFrame = {
-    val spark = points.sparkSession
-    val minDim = math.min(Cells.cellWidth(res), Cells.cellHeight(res)).toDouble
-    val perAxis = Cells.cellsPerAxis(res).toInt
+    val perAxis = Cells.cellsPerAxis(res)
+    val cw = Cells.cellWidth(res).toDouble
+    val ch = Cells.cellHeight(res).toDouble
+    val minDim = math.min(cw, ch)
+    val diag = math.sqrt(cw * cw + ch * ch)
 
     val pts = points
       .select(col("doc_id"), col("lng"), col("lat"))
       .withColumn("cell", gmCell(col("lng"), col("lat"), res))
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("doc_id").asc)
+    // job 1: tiny per-cell histogram -> driver (<= 4^res rows)
+    val cellCounts: Map[Long, Long] = pts.groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    var ring = 1
-    var pending = queries.select("query_id", "q_lng", "q_lat")
-    var acc: DataFrame = null
-    var exhausted = false
+    def ringCount(cell: Long, r: Int): Long =
+      Cells.kRing(cell, res, r).iterator.map(c => cellCounts.getOrElse(c, 0L)).sum
 
-    while (!exhausted && !pending.isEmpty) {
-      val coversWorld = ring >= perAxis
-      val qcells = pending
-        .withColumn("qcell", gmCell(col("q_lng"), col("q_lat"), res))
-        .withColumn("cell", explode(gmKRing(col("qcell"), res, lit(ring))))
-        .drop("qcell")
-
-      val dx = (col("lng").cast("long") - col("q_lng").cast("long")).cast("double")
-      val dy = (col("lat").cast("long") - col("q_lat").cast("long")).cast("double")
-      val topk = pts.join(broadcast(qcells), Seq("cell"), "inner")
-        .withColumn("dist2", dx * dx + dy * dy)
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "dist2")
-
-      // a query is final when its k-th hit beats the ring's exclusion bound
-      val bound = math.pow(ring * minDim, 2)
-      val status = topk.groupBy("query_id")
-        .agg(count(lit(1)).as("n"), max("dist2").as("worst"))
-      val doneIds =
-        if (coversWorld) status.select("query_id")
-        else status.where(col("n") === k && col("worst") < bound).select("query_id")
-
-      val finished = topk.join(doneIds, Seq("query_id"), "left_semi")
-      acc = if (acc == null) finished else acc.unionByName(finished)
-      pending = pending.join(doneIds, Seq("query_id"), "left_anti")
-      if (coversWorld) exhausted = true
-      ring *= 2
+    // driver-side ring planning per query (queries are small/broadcastable)
+    val qRows: Array[Row] = queries.select("query_id", "q_lng", "q_lat").collect()
+    val probeCells: Seq[(Long, Int, Int, Long)] = qRows.toSeq.flatMap { row =>
+      val qid = row.getLong(0)
+      val qlng = row.getInt(1); val qlat = row.getInt(2)
+      val qcell = Cells.cellId(qlng, qlat, res)
+      var r = 0
+      while (r < perAxis && ringCount(qcell, r) < k) r += 1
+      // +1 guards the boundary-tie case (outside point at exactly the
+      // exclusion distance competing with an equal-distance inside point)
+      val safe = math.min(perAxis.toDouble, math.ceil((r + 1) * diag / minDim) + 1).toInt
+      Cells.kRing(qcell, res, safe).map(c => (qid, qlng, qlat, c))
     }
-    if (acc == null) spark.emptyDataFrame else acc
+
+    val spark = points.sparkSession
+    import spark.implicits._
+    val qcells = probeCells.toDF("query_id", "q_lng", "q_lat", "cell")
+
+    // job 2: single cell equi-join + per-query window top-k
+    val dx = (col("lng").cast("long") - col("q_lng").cast("long")).cast("double")
+    val dy = (col("lat").cast("long") - col("q_lat").cast("long")).cast("double")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("doc_id").asc)
+    pts.join(broadcast(qcells), Seq("cell"), "inner")
+      .withColumn("dist2", dx * dx + dy * dy)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "dist2")
   }
 
   /** Test/oracle brute force: window top-k over the full cross join. */

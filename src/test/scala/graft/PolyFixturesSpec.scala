@@ -1,0 +1,54 @@
+package graft
+
+import graft.geom.Envelope
+import graft.jobs.SpatialJoin
+import graft.table.{Describe, InterleavedDocs, PolyFixtures}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PolyFixturesSpec extends AnyFunSuite {
+  val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("USCounties stand-in: 3221 polygons; frozen golden for the reference query rect") {
+    val counties = PolyFixtures.usCountiesStandIn(spark).cache()
+    assert(counties.count() == 3221) // cardinality golden, http_reader.rs:786-803
+    // the reference's query rectangle (-86,10)-(-85,40), closed-interval
+    val q = Envelope.fromDegrees(-86, 10, -85, 40)
+    val hits = counties.where(
+      col("p_max_lng") >= q.minLng && col("p_max_lat") >= q.minLat &&
+        col("p_min_lng") <= q.maxLng && col("p_min_lat") <= q.maxLat).count()
+    // FROZEN GOLDEN (our stand-in's analog of the reference's 140):
+    // computed once from the deterministic grid, committed forever.
+    assert(hits == 74L, s"golden drift: got $hits")
+  }
+
+  test("spatial join against the 3221-county build side matches brute force") {
+    val geo = InterleavedDocs.withGeometry(InterleavedDocs.docs(spark, Sf))
+    val counties = PolyFixtures.usCountiesStandIn(spark)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("poly_id", "doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val brute = key(SpatialJoin.bruteForce(geo, counties))
+    assert(key(SpatialJoin.cellJoin(geo, counties, res = 6)) == brute)
+    assert(key(SpatialJoin.rtreeJoin(geo, counties)) == brute)
+    assert(brute.nonEmpty) // hot cluster sits inside the US extent
+  }
+
+  test("Describe.layout/summary reflect the written table") {
+    val geo = InterleavedDocs.withGeometry(InterleavedDocs.docs(spark, Sf))
+    val out = java.nio.file.Files.createTempDirectory("graft_desc").toString
+    graft.jobs.Ingest.write(geo, out, numPartitions = 4)
+    val summary = Describe.summary(spark, out).head()
+    assert(summary.getLong(0) == geo.count())
+    val layout = Describe.layout(spark, out).collect()
+    assert(layout.nonEmpty && layout.forall(_.getAs[Long]("hilbert_span") >= 0))
+  }
+}
