@@ -42,6 +42,20 @@ object Bench {
       ).as("spans"))
   }
 
+  /** Emit the result line so the driver can machine-read it: write it to
+    * a file (`SPARK_GRAFT_BENCH_OUT`, default `BENCH_LOCAL.json` in cwd)
+    * AND print it as the final clean stdout line (build.sbt sets
+    * `run / outputStrategy := StdoutOutput` so sbt does not prefix it).
+    */
+  private def emit(json: String): Unit = {
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Exception => () } // stdout below is the contract of record
+    System.out.println(json)
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -89,9 +103,9 @@ object Bench {
       val mN = median(tsN); val mN4 = median(tsN4)
       val thrN = nDocs / mN; val thrN4 = nDocs / mN4
       val eff = thrN4 / (4.0 * thrN)
-      println(
-        s"""{"metric":"scaling efficiency N->4N","value":${"%.3f".format(eff)},"unit":"ratio","queries":{"docs_per_sec_n$n1":${"%.1f".format(thrN)},"docs_per_sec_n$n4":${"%.1f".format(thrN4)},"median_sec_n$n1":${"%.3f".format(mN)},"median_sec_n$n4":${"%.3f".format(mN4)}},"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"runs_n$n1":[${tsN.map("%.3f".format(_)).mkString(",")}],"runs_n$n4":[${tsN4.map("%.3f".format(_)).mkString(",")}]}""")
       spark.stop()
+      emit(
+        s"""{"metric":"scaling efficiency N->4N","value":${"%.3f".format(eff)},"unit":"ratio","queries":{"docs_per_sec_n$n1":${"%.1f".format(thrN)},"docs_per_sec_n$n4":${"%.1f".format(thrN4)},"median_sec_n$n1":${"%.3f".format(mN)},"median_sec_n$n4":${"%.3f".format(mN4)}},"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"runs_n$n1":[${tsN.map("%.3f".format(_)).mkString(",")}],"runs_n$n4":[${tsN4.map("%.3f".format(_)).mkString(",")}]}""")
       return
     }
 
@@ -131,9 +145,9 @@ object Bench {
 
     // fast mode for interleaved N-vs-4N scaling pairs: headline only
     if (sys.env.get("SPARK_GRAFT_HEADLINE_ONLY").contains("1")) {
-      println(
-        s"""{"metric":"spatial-join+tile throughput","value":${"%.3f".format(tJoinTiles)},"unit":"sec","queries":{"spatial_join_tiles":${"%.3f".format(tJoinTiles)}},"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":${"%.1f".format(nDocs / tJoinTiles)},"join_rows":$joined,"headline_runs":[${runs.map(r => "%.3f".format(r._1)).mkString(",")}]}""")
       spark.stop()
+      emit(
+        s"""{"metric":"spatial-join+tile throughput","value":${"%.3f".format(tJoinTiles)},"unit":"sec","queries":{"spatial_join_tiles":${"%.3f".format(tJoinTiles)}},"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":${"%.1f".format(nDocs / tJoinTiles)},"join_rows":$joined,"headline_runs":[${runs.map(r => "%.3f".format(r._1)).mkString(",")}]}""")
       return
     }
 
@@ -174,8 +188,8 @@ object Bench {
       "knn" -> tKnn, "bbox_filter" -> tBbox,
       "ingest_hilbert_write" -> tIngest, "bbox_pruned_scan" -> tPruned)
       .map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"spatial-join+tile throughput","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":${"%.1f".format(docsPerSec)},"join_rows":$joined}""")
     spark.stop()
+    emit(
+      s"""{"metric":"spatial-join+tile throughput","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":${"%.1f".format(docsPerSec)},"join_rows":$joined}""")
   }
 }

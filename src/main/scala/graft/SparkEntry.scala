@@ -92,9 +92,10 @@ object SparkEntry {
         .orderBy("tile_id")
     }),
 
-    // vector tiles (membership lists)
+    // vector tiles (membership lists; bucketed sub-tiles combined — the
+    // scale path is the bucketed Tiles.vector itself)
     "q09_tile_vector" -> ((s, dir) => {
-      Tiles.vector(geo(s, dir), zoom = 3)
+      Tiles.vectorCombined(geo(s, dir), zoom = 3)
         .select(col("tile_id"), col("n"), col("doc_ids"))
         .orderBy("tile_id")
     }),

@@ -135,30 +135,43 @@ object GraftFunctions {
 
   // --- SQL registration -----------------------------------------------------
 
-  /** Register all functions for SQL use (`SELECT gm_cell(lng, lat, 6)`). */
+  /** Register all functions for SQL use (`SELECT gm_cell(lng, lat, 6)`).
+    *
+    * Arguments are Cast to the static method's JVM signature exactly like
+    * the DSL entry points do — without this, `gm_hilbert(bigint_col, ...)`
+    * would reach StaticInvoke uncast and fail at runtime/codegen instead
+    * of behaving like any built-in (no-op Casts are elided by the
+    * optimizer's SimplifyCasts).
+    */
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
     val reg = spark.sessionState.functionRegistry
     def f(name: String, builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
-    def si(dt: DataType, m: String)(args: Seq[Expression]) =
-      StaticInvoke(Adapters.getClass, dt, m, args, Nil, propagateNull = true, returnNullable = false)
+    def si(dt: DataType, m: String, inTypes: Seq[DataType])(args: Seq[Expression]) = {
+      require(args.length == inTypes.length,
+        s"$m expects ${inTypes.length} arguments, got ${args.length}")
+      val cast = args.zip(inTypes).map { case (e, t) => Cast(e, t) }
+      StaticInvoke(Adapters.getClass, dt, m, cast, Nil, propagateNull = true, returnNullable = false)
+    }
+    val I = IntegerType; val B = BinaryType
 
-    f("st_scale_up", a => si(IntegerType, "scaleUp")(a))
-    f("st_scale_down", a => si(DoubleType, "scaleDown")(a))
-    f("st_point_wkb", a => si(BinaryType, "pointWkb")(a))
-    f("st_rect_wkb", a => si(BinaryType, "rectWkb")(a))
-    f("st_envelope", a => si(envStruct, "envelope")(a))
-    f("st_astext", a => si(StringType, "asText")(a))
-    f("st_contains", a => si(BooleanType, "containsWkb")(a))
-    f("gm_hilbert", a => si(LongType, "hilbert")(a))
-    f("gm_cell", a => si(LongType, "cellId")(a))
-    f("gm_cell_cover", a => si(ArrayType(LongType, containsNull = false), "coverEnv")(a))
-    f("gm_cell_cover_wkb", a => si(ArrayType(LongType, containsNull = false), "coverWkb")(a))
-    f("gm_kring", a => si(ArrayType(LongType, containsNull = false), "kring")(a))
-    f("gm_dz_encode", a => si(BinaryType, "dzEncode")(a))
-    f("gm_dz_decode", a => si(ArrayType(IntegerType, containsNull = false), "dzDecode")(a))
-    f("gm_simhash", a => si(LongType, "simhash")(a))
-    f("gm_fingerprint", a => si(LongType, "fingerprint")(a))
-    f("gm_min_shingle_fp", a => si(LongType, "minShingleFingerprint")(a))
+    f("st_scale_up", a => si(I, "scaleUp", Seq(DoubleType))(a))
+    f("st_scale_down", a => si(DoubleType, "scaleDown", Seq(I))(a))
+    f("st_point_wkb", a => si(B, "pointWkb", Seq(I, I))(a))
+    f("st_rect_wkb", a => si(B, "rectWkb", Seq(I, I, I, I))(a))
+    f("st_envelope", a => si(envStruct, "envelope", Seq(B))(a))
+    f("st_astext", a => si(StringType, "asText", Seq(B))(a))
+    f("st_contains", a => si(BooleanType, "containsWkb", Seq(B, I, I))(a))
+    f("gm_hilbert", a => si(LongType, "hilbert", Seq(I, I, I, I, I, I))(a))
+    f("gm_cell", a => si(LongType, "cellId", Seq(I, I, I))(a))
+    f("gm_cell_cover", a => si(ArrayType(LongType, containsNull = false), "coverEnv", Seq(I, I, I, I, I))(a))
+    f("gm_cell_cover_wkb", a => si(ArrayType(LongType, containsNull = false), "coverWkb", Seq(B, I))(a))
+    f("gm_kring", a => si(ArrayType(LongType, containsNull = false), "kring", Seq(LongType, I, I))(a))
+    f("gm_dz_encode", a => si(B, "dzEncode", Seq(ArrayType(IntegerType)))(a))
+    f("gm_dz_decode", a => si(ArrayType(IntegerType, containsNull = false), "dzDecode", Seq(B))(a))
+    f("gm_simhash", a => si(LongType, "simhash", Seq(ArrayType(StringType)))(a))
+    f("gm_fingerprint", a => si(LongType, "fingerprint", Seq(StringType))(a))
+    f("gm_min_shingle_fp", a => si(LongType, "minShingleFingerprint", Seq(StringType))(a))
   }
 }

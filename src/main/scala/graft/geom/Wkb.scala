@@ -109,7 +109,19 @@ object Wkb {
   private def readGeom(buf: ByteBuffer): Geom = {
     val order = buf.get()
     buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    val tpe = buf.getInt() & 0xFFFF // ignore SRID/dimension flags in high bits
+    val raw = buf.getInt()
+    // ISO WKB only: Z/M variants encode as type+1000/2000/3000; EWKB sets
+    // flag bits 0x80000000 (Z), 0x40000000 (M), 0x20000000 (SRID). The
+    // reference's model is strictly 2D with no SRID (geometry/mod.rs:10-19),
+    // so reject rather than silently misparse the SRID word / z-doubles as
+    // counts/coordinates.
+    if ((raw & 0xE0000000) != 0)
+      throw new IllegalArgumentException(
+        f"EWKB flags 0x$raw%08X not supported (2D ISO WKB only, no SRID/Z/M)")
+    if (raw > 7)
+      throw new IllegalArgumentException(
+        s"unsupported WKB type $raw (2D types 1-7 only; Z/M variants rejected)")
+    val tpe = raw
     tpe match {
       case 1 =>
         Pt(ScaledCoord.roundScaled(buf.getDouble()), ScaledCoord.roundScaled(buf.getDouble()))

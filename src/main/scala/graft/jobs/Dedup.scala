@@ -55,26 +55,56 @@ object Dedup {
     when(size(words) >= 3, array_distinct(grams)).otherwise(array().cast("array<string>"))
   }
 
-  /** n-gram Jaccard near-dup pairs (>= threshold), candidates generated by
-    * shared-shingle equi-join — cost proportional to shingle collisions,
-    * not |corpus|^2.
+  /** Shingle document-frequency cap for candidate generation. A trigram
+    * shared by more docs than this is dropped from CANDIDATE GENERATION
+    * (never from the Jaccard numerator/denominator, which always use the
+    * full shingle sets): one hot boilerplate trigram otherwise produces
+    * df^2/2 candidate pairs — the classic quadratic blowup at 100 TB. A
+    * true near-dup pair (Jaccard >= 0.5) shares many shingles, so it is
+    * missed only if EVERY shared shingle is hot — vanishingly unlikely,
+    * and impossible at test scale (no trigram reaches the cap), so oracle
+    * outputs are unchanged.
     */
-  def ngramJaccard(corpus: DataFrame, thresholdX10000: Long): DataFrame = {
+  val DefaultMaxShingleDf = 10000
+
+  /** Exact Jaccard computed ONLY for the given candidate (id_a, id_b)
+    * pairs — cost proportional to |pairs|, not |collisions|^2. Joins the
+    * pairs to the per-doc distinct-shingle arrays and intersects; equal to
+    * the exploded groupBy-count formulation because [[shingles]] is
+    * distinct.
+    */
+  def jaccardOnPairs(corpus: DataFrame, pairs: DataFrame, thresholdX10000: Long): DataFrame = {
+    val sets = corpus.select(col("doc_id"), shingles(col("text")).as("sh_set"))
+    pairs
+      .join(sets.select(col("doc_id").as("id_a"), col("sh_set").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh_set").as("sh_b")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jacc_x10000",
+        floor(col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double") * 10000).cast("long"))
+      .where(col("jacc_x10000") >= thresholdX10000)
+      .select("id_a", "id_b", "jacc_x10000")
+  }
+
+  /** n-gram Jaccard near-dup pairs (>= threshold): candidates from a
+    * shared-shingle equi-join over DF-capped shingles (hot shingles are
+    * few by definition and broadcast anti-joined away), then exact Jaccard
+    * on the candidate pairs only. Cost proportional to capped collisions +
+    * |candidates|, never |corpus|^2.
+    */
+  def ngramJaccard(corpus: DataFrame, thresholdX10000: Long,
+                   maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val sh = corpus
       .withColumn("sh", explode(shingles(col("text"))))
       .select(col("doc_id"), col("sh"))
-    val sizes = corpus.select(col("doc_id"), size(shingles(col("text"))).as("n_sh"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
-      .withColumn("jacc_x10000",
-        floor(col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double") * 10000).cast("long"))
-      .where(col("jacc_x10000") >= thresholdX10000)
-      .select("id_a", "id_b", "jacc_x10000")
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf).select("sh")
+    val capped = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val a = capped.as("a"); val b = capped.as("b")
+    val candidates = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    jaccardOnPairs(corpus, candidates, thresholdX10000)
   }
 
   val NumHashes = 32
@@ -112,8 +142,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // verify candidates with the exact measure
-    candidates.join(ngramJaccard(corpus, thresholdX10000), Seq("id_a", "id_b"), "inner")
+    // Verify ONLY the candidate pairs against the exact measure (join the
+    // pairs to per-doc shingle sets) — cost proportional to |candidates|.
+    // Never recompute the full shared-shingle pairwise join here: that
+    // would pay exactly the all-collisions cost LSH exists to avoid.
+    jaccardOnPairs(corpus, candidates, thresholdX10000)
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3):

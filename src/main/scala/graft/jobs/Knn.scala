@@ -66,12 +66,42 @@ object Knn {
     import spark.implicits._
     val qcells = probeCells.toDF("query_id", "q_lng", "q_lat", "cell")
 
-    // job 2: single cell equi-join + per-query window top-k
+    // job 2: single cell equi-join, then map-side partial top-k, then the
+    // per-query window over the tiny survivor set.
     val dx = (col("lng").cast("long") - col("q_lng").cast("long")).cast("double")
     val dy = (col("lat").cast("long") - col("q_lat").cast("long")).cast("double")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("doc_id").asc)
-    pts.join(broadcast(qcells), Seq("cell"), "inner")
+    val joined = pts.join(broadcast(qcells), Seq("cell"), "inner")
       .withColumn("dist2", dx * dx + dy * dy)
+      .select("query_id", "doc_id", "dist2")
+    // Partial top-k BEFORE the global window: with skewed data (the hot
+    // cluster collapses into one cell) a bare
+    // `row_number() over (partition by query_id)` funnels every candidate
+    // of a hot query into ONE task (measured 39.5 s at sf0.1, vs 5.1 s for
+    // the comparable salted join). Each input partition keeps only its k
+    // best rows per query in a bounded heap under the SAME
+    // (dist2, doc_id) order the final rank uses — exactness is preserved
+    // because the global top-k is always contained in the union of
+    // per-partition top-ks — so the window sees <= k * numPartitions rows
+    // per query instead of every candidate.
+    val enc = org.apache.spark.sql.Encoders.row(joined.schema)
+    val partial = joined.mapPartitions { it =>
+      val ord: Ordering[Row] = (x: Row, y: Row) => {
+        val c = java.lang.Double.compare(x.getDouble(2), y.getDouble(2))
+        if (c != 0) c
+        else x.get(1).asInstanceOf[Comparable[Any]].compareTo(y.get(1))
+      }
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.PriorityQueue.empty[Row](ord)) // max-first
+        if (h.size < k) h.enqueue(r)
+        else if (ord.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(enc)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("doc_id").asc)
+    partial
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "dist2")

@@ -24,15 +24,36 @@ object Tiles {
       .select("tile_id", "tile_x", "tile_y", "n")
   }
 
-  /** (tile_id, n, doc_ids) vector tile: the member list in deterministic
-    * (sorted) order. For real tile payloads, swap the id list for
+  val DefaultBuckets = 64
+
+  /** Vector tiles as bucketed sub-tiles — the 100 TB shape:
+    * (tile_id, bucket, n, doc_ids array). With skewed data one tile holds
+    * most docs; a single collect_list per tile funnels them into ONE
+    * reduce task and builds one giant payload (OOM/straggler at scale).
+    * Hash-bucketing doc_ids spreads the hot tile over `buckets` tasks and
+    * bounds every materialized payload; consumers stream a tile as its
+    * bucket sequence. Each bucket list is sorted, so output is
+    * deterministic. For real tile payloads, swap the id list for
     * collect_list(struct(doc_id, spans, wkb)).
     */
-  def vector(docsGeo: DataFrame, zoom: Int): DataFrame =
+  def vector(docsGeo: DataFrame, zoom: Int, buckets: Int = DefaultBuckets): DataFrame =
     docsGeo
       .withColumn("tile_id", gmTile(col("lng"), col("lat"), zoom))
-      .groupBy("tile_id")
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets.toLong)))
+      .groupBy("tile_id", "bucket")
       .agg(
         count(lit(1)).as("n"),
-        array_join(array_sort(collect_list(col("doc_id"))), ",").as("doc_ids"))
+        array_sort(collect_list(col("doc_id"))).as("doc_ids"))
+
+  /** Single-payload-per-tile view (tile_id, n, doc_ids csv), composed from
+    * the bucketed sub-tiles. The final per-tile concat necessarily lands
+    * on one task — bounded-cardinality tiles / test-scale exports only;
+    * the scale path is [[vector]].
+    */
+  def vectorCombined(docsGeo: DataFrame, zoom: Int, buckets: Int = DefaultBuckets): DataFrame =
+    vector(docsGeo, zoom, buckets)
+      .groupBy("tile_id")
+      .agg(
+        sum("n").as("n"),
+        array_join(array_sort(flatten(collect_list(col("doc_ids")))), ",").as("doc_ids"))
 }

@@ -25,7 +25,9 @@ object StreamIngest {
     */
   def runAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
                       checkpointDir: String): Long = {
-    val schema = InterleavedDocs.docs(spark, "/root/testdata/sf0.001").schema
+    // readStream needs an explicit schema; derive it from the source dir
+    // itself (one batch-read of the footer — no data scan).
+    val schema = spark.read.parquet(srcDir).schema
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
 
     val stream = spark.readStream

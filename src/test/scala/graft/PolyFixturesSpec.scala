@@ -27,8 +27,10 @@ class PolyFixturesSpec extends AnyFunSuite {
       col("p_max_lng") >= q.minLng && col("p_max_lat") >= q.minLat &&
         col("p_min_lng") <= q.maxLng && col("p_min_lat") <= q.maxLat).count()
     // FROZEN GOLDEN (our stand-in's analog of the reference's 140):
-    // computed once from the deterministic grid, committed forever.
-    assert(hits == 74L, s"golden drift: got $hits")
+    // derived from the deterministic grid — query lng hits columns 37-38
+    // (c*CellW in [379649123+eps, 400000000] => c in {37,38}), query lat
+    // hits rows 0-35 (r*CellH <= 160000000 => r <= 35): 2 x 36 = 72.
+    assert(hits == 72L, s"golden drift: got $hits")
   }
 
   test("spatial join against the 3221-county build side matches brute force") {
