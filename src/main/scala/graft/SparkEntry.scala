@@ -130,6 +130,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // F2: bincode feature codec roundtrip (encode point+prop, decode back;
+    // n_bytes is the exact fixint-LE size: 40 + len(key) + len(value))
+    "q13_feature_codec" -> ((s, dir) => {
+      val g = geo(s, dir)
+        .withColumn("fb", gmEncodePointFeature(col("lng"), col("lat"), lit("doc"), col("doc_id")))
+        .withColumn("f", gmDecodeFeature(col("fb")))
+        .withColumn("env", stEnvelope(col("f.wkb")))
+      g.select(col("doc_id"),
+          length(col("fb")).cast("long").as("n_bytes"),
+          col("env.min_lng").cast("long").as("lng"),
+          col("env.min_lat").cast("long").as("lat"),
+          element_at(col("f.prop_vals"), 1).as("prop_doc"))
+        .orderBy("doc_id")
+    }),
+
+    // F6: WKT roundtrip — our WKT formatting parsed back through the
+    // runtime WKT parser lands on the same scaled ints
+    "q14_wkt_roundtrip" -> ((s, dir) => {
+      val g = geo(s, dir)
+        .withColumn("wkb2", stGeomFromText(stAsText(stPointWkb(col("lng"), col("lat")))))
+        .withColumn("env", stEnvelope(col("wkb2")))
+      g.select(col("doc_id"),
+          col("env.min_lng").cast("long").as("lng"),
+          col("env.min_lat").cast("long").as("lat"))
+        .orderBy("doc_id")
+    }),
+
+    // spatial join, strategy 4 (J6): Hilbert-range shuffle join
+    "q15_join_range" -> ((s, dir) => {
+      SpatialJoin.hilbertRangeJoin(geo(s, dir), InterleavedDocs.nationRects(s, dir))
+        .select(col("poly_id"), col("doc_id")).orderBy("poly_id", "doc_id")
+    }),
+
     // relational coverage: agg, broadcast join + top-n, window
     "q20_lineitem_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -313,6 +346,18 @@ object SparkEntry {
     "q12_scale_down" ->
       s"""WITH $P SELECT doc_id, CAST(lng AS DOUBLE) / 10000000.0 AS lng_deg,
          |CAST(lat AS DOUBLE) / 10000000.0 AS lat_deg FROM pts ORDER BY doc_id""".stripMargin,
+
+    "q13_feature_codec" ->
+      s"""WITH $P SELECT doc_id, CAST(43 + length(doc_id) AS BIGINT) AS n_bytes,
+         |lng, lat, doc_id AS prop_doc FROM pts ORDER BY doc_id""".stripMargin,
+
+    "q14_wkt_roundtrip" ->
+      s"""WITH $P SELECT doc_id, lng, lat FROM pts ORDER BY doc_id""".stripMargin,
+
+    "q15_join_range" ->
+      s"""WITH $P, $R SELECT r.poly_id, p.doc_id FROM pts p JOIN rects r
+         |ON p.lng BETWEEN r.p_min_lng AND r.p_max_lng AND p.lat BETWEEN r.p_min_lat AND r.p_max_lat
+         |ORDER BY r.poly_id, p.doc_id""".stripMargin,
 
     "q20_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

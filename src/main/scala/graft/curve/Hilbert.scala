@@ -87,4 +87,51 @@ object Hilbert {
   def scaledHilbert(lng: Int, lat: Int,
                     extMinLng: Int, extMinLat: Int, extMaxLng: Int, extMaxLat: Int): Long =
     scaled(lng, lat, Envelope(extMinLng, extMinLat, extMaxLng, extMaxLat))
+
+  // --- curve chunks (order-res prefixes) for the Hilbert-range join (J6) ---
+
+  /** By self-similarity of the curve, the top 2*res bits of the order-16
+    * index are the order-`res` Hilbert index of the containing cell — so a
+    * "chunk" identifies one contiguous curve range [chunk << 2k,
+    * (chunk+1) << 2k) with k = 16-res. Points and envelope covers keyed by
+    * chunk therefore equi-join exactly where their curve ranges overlap:
+    * the shuffle-based range join for build sides too big to broadcast.
+    */
+  def chunk(lng: Int, lat: Int, extent: Envelope, res: Int): Long = {
+    require(res >= 1 && res <= 16, s"res $res out of 1..16")
+    scaled(lng, lat, extent) >>> (2 * (16 - res))
+  }
+
+  /** All order-res chunks whose cell intersects `env` (clamped to the
+    * extent). Uses the same coordinate projection as [[scaled]], so a
+    * point inside `env` always lands in one of the returned chunks.
+    */
+  def chunksOfEnvelope(env: Envelope, extent: Envelope, res: Int): Array[Long] = {
+    require(res >= 1 && res <= 16, s"res $res out of 1..16")
+    val shift = 16 - res
+    def xc(lng: Int): Int = {
+      val w = extent.lngWidth
+      val clamped = math.max(extent.minLng, math.min(extent.maxLng, lng))
+      if (w <= 0) 0 else ((clamped.toLong - extent.minLng.toLong) * Max / w).toInt
+    }
+    def yc(lat: Int): Int = {
+      val h = extent.latHeight
+      val clamped = math.max(extent.minLat, math.min(extent.maxLat, lat))
+      if (h <= 0) 0 else ((clamped.toLong - extent.minLat.toLong) * Max / h).toInt
+    }
+    val cx0 = xc(env.minLng) >>> shift; val cx1 = xc(env.maxLng) >>> shift
+    val cy0 = yc(env.minLat) >>> shift; val cy1 = yc(env.maxLat) >>> shift
+    val out = new Array[Long]((cx1 - cx0 + 1) * (cy1 - cy0 + 1))
+    var i = 0
+    var cy = cy0
+    while (cy <= cy1) {
+      var cx = cx0
+      while (cx <= cx1) {
+        out(i) = index(cx << shift, cy << shift) >>> (2 * shift)
+        i += 1; cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
 }

@@ -60,6 +60,40 @@ object Adapters {
   def dzEncode(ints: ArrayData): Array[Byte] = DeltaZigZag.encode(ints.toIntArray())
   def dzDecode(bytes: Array[Byte]): ArrayData = new GenericArrayData(DeltaZigZag.decode(bytes))
 
+  /** WKT text -> WKB bytes (F6 runtime parser, `wkt.rs:24-142` analog). */
+  def wktToWkb(text: UTF8String): Array[Byte] = graft.geom.Wkt.toWkb(text.toString)
+
+  // --- bincode feature codec (F2) -------------------------------------------
+
+  /** Encode a point Feature with one string property — the hot ingest
+    * shape — with byte parity to the reference (inspector.rs:268-276).
+    */
+  def encodePointFeature(lng: Int, lat: Int, key: UTF8String, value: UTF8String): Array[Byte] = {
+    import graft.codec.FeatureCodec._
+    encodeFeature(Feature(Wkb.Pt(lng, lat), Vector(key.toString -> PString(value.toString))))
+  }
+
+  /** Decode any bincode feature to struct(wkb, prop_keys, prop_vals). */
+  def decodeFeature(bytes: Array[Byte]): InternalRow = {
+    val f = graft.codec.FeatureCodec.decodeFeature(bytes)
+    new GenericInternalRow(Array[Any](
+      Wkb.write(f.geom),
+      new GenericArrayData(f.props.map(p => UTF8String.fromString(p._1)).toArray[Any]),
+      new GenericArrayData(f.props.map(p =>
+        UTF8String.fromString(graft.sources.GeoJson.propValueString(p._2))).toArray[Any])))
+  }
+
+  // --- Hilbert curve chunks (J6 range join) ---------------------------------
+
+  private val World = graft.geom.Envelope(-1800000000, -900000000, 1800000000, 900000000)
+
+  def hilbertChunk(lng: Int, lat: Int, res: Int): Long =
+    Hilbert.chunk(lng, lat, World, res)
+
+  def hilbertChunksEnv(minLng: Int, minLat: Int, maxLng: Int, maxLat: Int, res: Int): ArrayData =
+    new GenericArrayData(Hilbert.chunksOfEnvelope(
+      graft.geom.Envelope(minLng, minLat, maxLng, maxLat), World, res))
+
   // --- text fingerprints (training-data pipeline ops) ----------------------
 
   /** 64-bit SimHash over a token array: each token hashed (FNV-1a 64),

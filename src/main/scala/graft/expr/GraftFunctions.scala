@@ -122,6 +122,37 @@ object GraftFunctions {
   def gmDzDecode(bytes: Column): Column =
     inv(Adapters.getClass, ArrayType(IntegerType, containsNull = false), "dzDecode", Seq(ex(bytes)))
 
+  // --- WKT (F6) + bincode feature codec (F2) --------------------------------
+
+  /** WKT text -> WKB (runtime analog of the reference's wkt! DSL). */
+  def stGeomFromText(wkt: Column): Column =
+    inv(Adapters.getClass, BinaryType, "wktToWkb", Seq(ex(wkt.cast(StringType))))
+
+  private val featStruct = StructType(Seq(
+    StructField("wkb", BinaryType, nullable = false),
+    StructField("prop_keys", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("prop_vals", ArrayType(StringType, containsNull = false), nullable = false)))
+
+  /** bincode(legacy fixint LE) feature bytes of a point + 1 string prop. */
+  def gmEncodePointFeature(lng: Column, lat: Column, key: Column, value: Column): Column =
+    inv(Adapters.getClass, BinaryType, "encodePointFeature",
+      Seq(i(lng), i(lat), ex(key.cast(StringType)), ex(value.cast(StringType))))
+
+  /** decode bincode feature bytes -> struct(wkb, prop_keys, prop_vals). */
+  def gmDecodeFeature(bytes: Column): Column =
+    inv(Adapters.getClass, featStruct, "decodeFeature", Seq(ex(bytes)))
+
+  // --- Hilbert curve chunks (J6 range join) ---------------------------------
+
+  /** Order-res Hilbert curve chunk of a point (world-extent curve). */
+  def gmHilbertChunk(lng: Column, lat: Column, res: Int): Column =
+    inv(Adapters.getClass, LongType, "hilbertChunk", Seq(i(lng), i(lat), ex(lit(res))))
+
+  /** All order-res chunks intersecting an envelope (world-extent curve). */
+  def gmHilbertChunksEnv(minLng: Column, minLat: Column, maxLng: Column, maxLat: Column, res: Int): Column =
+    inv(Adapters.getClass, ArrayType(LongType, containsNull = false), "hilbertChunksEnv",
+      Seq(i(minLng), i(minLat), i(maxLng), i(maxLat), ex(lit(res))))
+
   // --- text fingerprints ----------------------------------------------------
 
   def gmSimhash(tokens: Column): Column =
@@ -173,5 +204,12 @@ object GraftFunctions {
     f("gm_simhash", a => si(LongType, "simhash", Seq(ArrayType(StringType)))(a))
     f("gm_fingerprint", a => si(LongType, "fingerprint", Seq(StringType))(a))
     f("gm_min_shingle_fp", a => si(LongType, "minShingleFingerprint", Seq(StringType))(a))
+    f("st_geomfromtext", a => si(B, "wktToWkb", Seq(StringType))(a))
+    f("gm_encode_point_feature", a =>
+      si(B, "encodePointFeature", Seq(I, I, StringType, StringType))(a))
+    f("gm_decode_feature", a => si(featStruct, "decodeFeature", Seq(B))(a))
+    f("gm_hilbert_chunk", a => si(LongType, "hilbertChunk", Seq(I, I, I))(a))
+    f("gm_hilbert_chunks_env", a =>
+      si(ArrayType(LongType, containsNull = false), "hilbertChunksEnv", Seq(I, I, I, I, I))(a))
   }
 }

@@ -193,18 +193,27 @@ object Wkb {
   def envMaxLng(wkb: Array[Byte]): Int = read(wkb).envelope.maxLng
   def envMaxLat(wkb: Array[Byte]): Int = read(wkb).envelope.maxLat
 
-  /** WKT debug formatting, mirroring `geometry/mod.rs:209-280`. */
+  /** WKT debug formatting, mirroring `geometry/mod.rs:209-280` —
+    * including the reference's `EMPTY` rendering for empty (nested)
+    * collections (`fmt_points` / `fmt_polygon_rings_wkt`), so
+    * formatter -> [[Wkt.parse]] is a fixpoint.
+    */
   def asText(g: Geom): String = {
     def c(packed: Long) = s"${ScaledCoord.toDegrees(lngOf(packed))} ${ScaledCoord.toDegrees(latOf(packed))}"
-    def ring(r: Array[Long]) = r.map(c).mkString("(", ",", ")")
+    def ring(r: Array[Long]) = if (r.isEmpty) "EMPTY" else r.map(c).mkString("(", ",", ")")
+    def rings(rs: Vector[Array[Long]]) = if (rs.isEmpty) "EMPTY" else rs.map(ring).mkString("(", ",", ")")
     g match {
       case Pt(lng, lat)   => s"POINT(${ScaledCoord.toDegrees(lng)} ${ScaledCoord.toDegrees(lat)})"
-      case Line(cs)       => s"LINESTRING${ring(cs)}"
-      case Poly(rs)       => s"POLYGON${rs.map(ring).mkString("(", ",", ")")}"
-      case MultiPt(cs)    => s"MULTIPOINT${ring(cs)}"
-      case MultiLine(ls)  => s"MULTILINESTRING${ls.map(ring).mkString("(", ",", ")")}"
-      case MultiPoly(ps)  => s"MULTIPOLYGON${ps.map(rs => rs.map(ring).mkString("(", ",", ")")).mkString("(", ",", ")")}"
-      case Collection(gs) => s"GEOMETRYCOLLECTION(${gs.map(asText).mkString(",")})"
+      case Line(cs)       => if (cs.isEmpty) "LINESTRING EMPTY" else s"LINESTRING${ring(cs)}"
+      case Poly(rs)       => if (rs.isEmpty) "POLYGON EMPTY" else s"POLYGON${rings(rs)}"
+      case MultiPt(cs)    => if (cs.isEmpty) "MULTIPOINT EMPTY" else s"MULTIPOINT${ring(cs)}"
+      case MultiLine(ls)  => if (ls.isEmpty) "MULTILINESTRING EMPTY" else s"MULTILINESTRING${rings(ls)}"
+      case MultiPoly(ps)  =>
+        if (ps.isEmpty) "MULTIPOLYGON EMPTY"
+        else s"MULTIPOLYGON${ps.map(rings).mkString("(", ",", ")")}"
+      case Collection(gs) =>
+        if (gs.isEmpty) "GEOMETRYCOLLECTION EMPTY"
+        else s"GEOMETRYCOLLECTION(${gs.map(asText).mkString(",")})"
     }
   }
 

@@ -171,6 +171,29 @@ final class PackedRTree(val numLeaves: Long, val bytes: Array[Byte]) extends Ser
     results.toArray
   }
 
+  /** Like [[queryBbox]] but emits both payload halves — for the file
+    * reader these are `FeatureLocation = (page_starting_offset,
+    * feature_offset)` pairs (`format.rs:4-10`), in tree order.
+    */
+  def queryBboxLocations(q: Envelope): Vector[(Long, Int)] = {
+    if (numLeaves == 0) return Vector.empty
+    val results = Vector.newBuilder[(Long, Int)]
+    val queue = mutable.Queue[(Long, Long)]((0L, 1L))
+    val leafStart = nodeRangesByLevel(numLeaves).last._1
+    while (queue.nonEmpty) {
+      val (s, e) = queue.dequeue()
+      var idx = s
+      while (idx < e) {
+        if (nodeEnvelope(idx).intersects(q)) {
+          if (idx >= leafStart) results += ((payloadHi(idx), payloadLo(idx)))
+          else childrenRange(numLeaves, idx).foreach(queue.enqueue(_))
+        }
+        idx += 1
+      }
+    }
+    results.result()
+  }
+
   /** Leaf payloads whose envelope intersects (minLng..maxLat); Catalyst
     * StaticInvoke-friendly signature.
     */

@@ -81,6 +81,30 @@ object SpatialJoin {
     refined(pts.join(polyCells, Seq("cell", "salt"), "inner")).drop("cell", "salt")
   }
 
+  /** Strategy 4 (J6): Hilbert-range join — the shuffle path for build
+    * sides too big to broadcast. Both sides key by order-res curve chunk
+    * (a contiguous Hilbert range): points via [[gmHilbertChunk]], polygon
+    * envelopes exploded to every chunk they intersect. Catalyst plans a
+    * plain shuffled equi-join (sort-merge or shuffled-hash, AQE's choice)
+    * with NO broadcast and NO cross product; because the ingest layout is
+    * Hilbert-clustered, probe-side chunks are nearly sorted within input
+    * splits, so the shuffle write is run-length-friendly and a sort-merge
+    * join's sort is cheap. Exact PIP refinement keeps output identical to
+    * [[cellJoin]]/brute force.
+    */
+  def hilbertRangeJoin(points: DataFrame, polys: DataFrame, res: Int = 6): DataFrame = {
+    val polyChunks = polys.withColumn("hchunk",
+      explode(gmHilbertChunksEnv(col("p_min_lng"), col("p_min_lat"), col("p_max_lng"), col("p_max_lat"), res)))
+    val pts = points.withColumn("hchunk", gmHilbertChunk(col("lng"), col("lat"), res))
+    // no broadcast() hint: this strategy exists for the both-sides-large
+    // case; the envelope pre-filter keeps chunk-collision false positives
+    // out of the PIP refinement
+    refined(pts.join(polyChunks, Seq("hchunk"), "inner")
+      .where(col("lng") >= col("p_min_lng") && col("lng") <= col("p_max_lng") &&
+        col("lat") >= col("p_min_lat") && col("lat") <= col("p_max_lat")))
+      .drop("hchunk")
+  }
+
   /** Test oracle: brute-force cross join + exact predicate (tiny scale only). */
   def bruteForce(points: DataFrame, polys: DataFrame): DataFrame =
     refined(points.crossJoin(polys))

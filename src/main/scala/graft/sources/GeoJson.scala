@@ -1,7 +1,7 @@
 package graft.sources
 
+import graft.codec.FeatureCodec._
 import graft.geom.{ScaledCoord, Wkb}
-import scala.collection.mutable
 
 /** GeoJSON <-> engine converters — the analog of the reference's geozero
   * bridge (S8 ingest: `geomedea_geozero/src/geozero_writer.rs`, S9 export:
@@ -22,7 +22,10 @@ object GeoJson {
   }
   case class JArr(items: Vector[J]) extends J
   case class JStr(s: String) extends J
-  case class JNum(d: Double) extends J
+  /** integral = the literal had no '.'/exponent — distinguishes JSON int
+    * from float for typed property mapping (serde_json semantics).
+    */
+  case class JNum(d: Double, integral: Boolean = false) extends J
   case class JBool(b: Boolean) extends J
   case object JNull extends J
 
@@ -106,7 +109,8 @@ object GeoJson {
     private def num(): JNum = {
       val start = i
       while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
-      JNum(s.substring(start, i).toDouble)
+      val tok = s.substring(start, i)
+      JNum(tok.toDouble, integral = !tok.exists(c => c == '.' || c == 'e' || c == 'E'))
     }
   }
 
@@ -142,17 +146,88 @@ object GeoJson {
     }
   }
 
-  /** One parsed feature: WKB + flat string properties (insertion-ordered,
-    * mirroring the reference's ordered property map, feature.rs:45-83).
+  /** One parsed feature: WKB + TYPED insertion-ordered properties (F9 —
+    * the reference's ordered property map, feature.rs:45-83, with the
+    * typed variants of geomedea_geozero/src/lib.rs:14-56). `properties`
+    * is the legacy flat-string view.
     */
-  final case class Feature(wkb: Array[Byte], properties: Vector[(String, String)])
+  final case class Feature(wkb: Array[Byte], props: Vector[(String, PValue)]) {
+    def properties: Vector[(String, String)] =
+      props.map { case (k, v) => k -> propValueString(v) }
+  }
 
-  private def propStr(j: J): String = j match {
-    case JStr(s)  => s
-    case JNum(d)  => if (d == d.toLong) d.toLong.toString else d.toString
-    case JBool(b) => b.toString
-    case JNull    => ""
-    case other    => other.toString
+  /** JSON value -> typed PropertyValue, mirroring geozero's geojson
+    * reader + the geozero->geomedea mapping (geomedea_geozero/src/lib.rs:
+    * 37-56): bool -> Bool; integral number -> Int64 (UInt64 when above
+    * i64::MAX); other number -> Float64; string -> String; arrays/objects
+    * -> their JSON text as String (geozero ColumnValue::Json -> String);
+    * null -> dropped (geozero skips null-valued properties).
+    */
+  def propValue(j: J): Option[PValue] = j match {
+    case JBool(b) => Some(PBool(b))
+    case JNum(d, true) if d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble =>
+      Some(PInt64(d.toLong))
+    case JNum(d, true) if d > Long.MaxValue.toDouble && d < 1.8446744073709552e19 =>
+      Some(PUInt64(new java.math.BigDecimal(d).toBigInteger.longValue()))
+    case JNum(d, _) => Some(PFloat64(d))
+    case JStr(s)    => Some(PString(s))
+    case JNull      => None
+    case other      => Some(PString(renderJson(other)))
+  }
+
+  def propValueString(v: PValue): String = v match {
+    case PBool(b)    => b.toString
+    case PInt64(x)   => x.toString
+    case PUInt64(x)  => java.lang.Long.toUnsignedString(x)
+    case PFloat64(d) => if (d == d.toLong) d.toLong.toString else d.toString
+    case PString(s)  => s
+    case other       => other.toString
+  }
+
+  /** Typed value -> JSON text (the export side of the typed mapping). */
+  def propValueJson(v: PValue): String = v match {
+    case PBool(b)    => b.toString
+    case PInt8(x)    => x.toString
+    case PUInt8(x)   => x.toString
+    case PInt16(x)   => x.toString
+    case PUInt16(x)  => x.toString
+    case PInt32(x)   => x.toString
+    case PUInt32(x)  => x.toString
+    case PInt64(x)   => x.toString
+    case PUInt64(x)  => java.lang.Long.toUnsignedString(x)
+    case PFloat32(f) => floatJson(f.toDouble)
+    case PFloat64(d) => floatJson(d)
+    case PBytes(b)   => "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\""
+    case PString(s)  => quoteJson(s)
+    case PVec(xs)    => xs.map(propValueJson).mkString("[", ",", "]")
+    case PMap(ps)    => ps.map { case (k, x) => s"${quoteJson(k)}:${propValueJson(x)}" }.mkString("{", ",", "}")
+  }
+
+  /** keep floats floats on reparse: whole doubles render with ".0" */
+  private def floatJson(d: Double): String =
+    if (d.isWhole && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+
+  def quoteJson(s: String): String = {
+    val sb = new java.lang.StringBuilder("\"")
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def renderJson(j: J): String = j match {
+    case JObj(fs)   => fs.map { case (k, v) => s"${quoteJson(k)}:${renderJson(v)}" }.mkString("{", ",", "}")
+    case JArr(xs)   => xs.map(renderJson).mkString("[", ",", "]")
+    case JStr(s)    => quoteJson(s)
+    case JNum(d, i) => if (i && d == d.toLong) d.toLong.toString else d.toString
+    case JBool(b)   => b.toString
+    case JNull      => "null"
   }
 
   def feature(j: J): Feature = {
@@ -160,8 +235,9 @@ object GeoJson {
     val geom = o.get("geometry").map(geometry)
       .getOrElse(Wkb.Pt(0, 0)) // geometry-less degrades to POINT(0 0), geozero_writer.rs:50-61
     val props = o.get("properties") match {
-      case Some(JObj(fields)) => fields.map { case (k, v) => k -> propStr(v) }
-      case _                  => Vector.empty
+      case Some(JObj(fields)) =>
+        fields.flatMap { case (k, v) => propValue(v).map(k -> _) }
+      case _ => Vector.empty
     }
     Feature(Wkb.write(geom), props)
   }

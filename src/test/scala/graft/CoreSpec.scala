@@ -217,4 +217,62 @@ class CoreSpec extends AnyFunSuite {
     assert(DeltaZigZag.decodeLongs(DeltaZigZag.encodeLongs(longs)).toSeq == longs.toSeq)
     assert(DeltaZigZag.decode(DeltaZigZag.encode(Array.empty[Int])).isEmpty)
   }
+
+  test("WKT parser goldens (wkt.rs:150-300)") {
+    import graft.geom.Wkt
+    def deg(d: Double) = ScaledCoord.toScaled(d)
+    def pt(x: Double, y: Double) = Wkb.pack(deg(x), deg(y))
+
+    // optional decimal + point (wkt.rs:151-161)
+    assert(Wkt.parse("POINT(1 2.0)") == Wkb.Pt(deg(1), deg(2)))
+    assert(Wkt.parse("POINT(1 2)") == Wkb.Pt(deg(1), deg(2)))
+    // line_string (wkt.rs:163-170)
+    assert(Wkt.parse("LINESTRING(1 2,3 4)").asInstanceOf[Wkb.Line].coords.toSeq ==
+      Seq(pt(1, 2), pt(3, 4)))
+    assert(Wkt.parse("LINESTRING EMPTY").asInstanceOf[Wkb.Line].coords.isEmpty)
+    // polygon (wkt.rs:172-182)
+    val poly = Wkt.parse("POLYGON((1 2,3 4))").asInstanceOf[Wkb.Poly]
+    assert(poly.rings.map(_.toSeq) == Vector(Seq(pt(1, 2), pt(3, 4))))
+    // multi_point (wkt.rs:184-191)
+    assert(Wkt.parse("MULTIPOINT(1 2,3 4)").asInstanceOf[Wkb.MultiPt].coords.toSeq ==
+      Seq(pt(1, 2), pt(3, 4)))
+    // multi_line_string with nested EMPTY (wkt.rs:193-204)
+    val mls = Wkt.parse("MULTILINESTRING((1 2,3 4),EMPTY,(5 6,7 8))").asInstanceOf[Wkb.MultiLine]
+    assert(mls.lines.map(_.toSeq) ==
+      Vector(Seq(pt(1, 2), pt(3, 4)), Seq.empty, Seq(pt(5, 6), pt(7, 8))))
+    // multi_polygon with nested EMPTY (wkt.rs:206-235)
+    val mp = Wkt.parse(
+      "MULTIPOLYGON(((0 1,1 1,1 0,0 1)),EMPTY,((5 5,7 8,5 6,5 5),(9 10, 11 12,12 12,9 10)))")
+      .asInstanceOf[Wkb.MultiPoly]
+    assert(mp.polys.map(_.map(_.toSeq)) == Vector(
+      Vector(Seq(pt(0, 1), pt(1, 1), pt(1, 0), pt(0, 1))),
+      Vector.empty,
+      Vector(Seq(pt(5, 5), pt(7, 8), pt(5, 6), pt(5, 5)),
+        Seq(pt(9, 10), pt(11, 12), pt(12, 12), pt(9, 10)))))
+    // geometry_collection of all six (wkt.rs:237-287)
+    val gc = Wkt.parse(
+      """GEOMETRYCOLLECTION(
+        |  POINT(1 2),
+        |  LINESTRING(1 2,3 4),
+        |  POLYGON((1 2,3 4,5 6,1 2)),
+        |  MULTIPOINT(1 2,3 4),
+        |  MULTILINESTRING((1 2,3 4),EMPTY,(5 6,7 8)),
+        |  MULTIPOLYGON(((0 1,1 1,1 0,0 1)),EMPTY,((5 5,7 8,5 6,5 5),(9 10, 11 12,12 12,9 10))))""".stripMargin)
+      .asInstanceOf[Wkb.Collection]
+    assert(gc.geoms.length == 6)
+    assert(gc.geoms.head == Wkb.Pt(deg(1), deg(2)))
+    assert(Wkb.asText(gc.geoms(2)) == "POLYGON((1.0 2.0,3.0 4.0,5.0 6.0,1.0 2.0))")
+    // bounds (wkt.rs:289-297)
+    assert(Wkt.parseRect("RECT(1 2,3 4)") ==
+      Envelope.fromCorners(deg(1), deg(2), deg(3), deg(4)))
+    // EMPTY collections + rejections (wkt.rs:37-39, 57-59)
+    assert(Wkt.parse("GEOMETRYCOLLECTION EMPTY").asInstanceOf[Wkb.Collection].geoms.isEmpty)
+    assert(Wkt.parse("MULTIPOLYGON EMPTY").asInstanceOf[Wkb.MultiPoly].polys.isEmpty)
+    intercept[IllegalArgumentException](Wkt.parse("POINT EMPTY"))
+    intercept[IllegalArgumentException](Wkt.parse("LINESTRING()"))
+    intercept[IllegalArgumentException](Wkt.parse("TRIANGLE(0 0,1 1,2 0)"))
+    // WKT out -> WKT in is a fixpoint through the engine formatter
+    val round = Wkt.parse(Wkb.asText(mp))
+    assert(Wkb.asText(round) == Wkb.asText(mp))
+  }
 }

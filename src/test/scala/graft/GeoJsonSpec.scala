@@ -77,6 +77,53 @@ class GeoJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("typed properties (F9): bool/int/float/string survive ingest -> export typed") {
+    // the analog of geozero_writer.rs:645-699 property-type assertions
+    import graft.codec.FeatureCodec._
+    val doc =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[1.5,2.5]},
+        | "properties":{"name":"alpha","pop":12345,"ratio":0.25,"flag":true,
+        |               "gone":null,"tags":["a","b"],"whole":3.0}}]}""".stripMargin
+    val f = GeoJson.features(doc).head
+    // typed parse: null dropped; arrays stringified (geozero Json->String)
+    assert(f.props == Vector(
+      "name" -> PString("alpha"), "pop" -> PInt64(12345L),
+      "ratio" -> PFloat64(0.25), "flag" -> PBool(true),
+      "tags" -> PString("""["a","b"]"""), "whole" -> PFloat64(3.0)))
+
+    val tmp = java.nio.file.Files.createTempFile("typed", ".geojson")
+    java.nio.file.Files.write(tmp, doc.getBytes)
+    val df = GeoJsonIngest.fromFeatureCollection(spark, tmp.toString)
+    val kinds = df.selectExpr("transform(props, p -> p.kind) AS kinds").head().getSeq[String](0)
+    assert(kinds == Seq("string", "i64", "f64", "bool", "string", "f64"))
+
+    // export renders typed JSON; reparse restores identical typed values
+    val exported = GeoJsonIngest.toGeoJsonFeatures(df).head().getString(0)
+    val back = GeoJson.features(exported).head
+    assert(back.props == f.props, exported)
+    // fidelity the old string-flattening path lost: bool is a JSON bool,
+    // ints have no quotes/decimal point, whole floats keep ".0"
+    assert(exported.contains(""""flag":true"""))
+    assert(exported.contains(""""pop":12345"""))
+    assert(exported.contains(""""whole":3.0"""))
+  }
+
+  test("typed columnar bridge roundtrips all 13 scalar variants") {
+    import graft.codec.FeatureCodec._
+    import graft.sources.GeoJsonIngest.{fromCell, toCell}
+    val vals: Vector[(String, PValue)] = Vector(
+      "b" -> PBool(true), "i8" -> PInt8(-5), "u8" -> PUInt8(200),
+      "i16" -> PInt16(-1000), "u16" -> PUInt16(60000),
+      "i32" -> PInt32(Int.MinValue), "u32" -> PUInt32(4000000000L),
+      "i64" -> PInt64(Long.MinValue), "u64" -> PUInt64(-1L),
+      "f32" -> PFloat32(1.5f), "f64" -> PFloat64(math.Pi),
+      "bin" -> PBytes(Array[Byte](1, 2)), "s" -> PString("x"))
+    vals.foreach { case (k, v) => assert(fromCell(toCell(k, v)) == (k -> v)) }
+    // Vec/Map rejected like the reference bridge (lib.rs:32-34)
+    intercept[IllegalArgumentException](toCell("v", PVec(Vector(PBool(true)))))
+  }
+
   test("export job emits parseable features preserving property order") {
     val df = GeoJsonIngest.fromFeatureCollection(spark, s"$Fixtures/countries.geojson").limit(5)
     val out = GeoJsonIngest.toGeoJsonFeatures(df).collect().map(_.getString(0))

@@ -52,6 +52,9 @@ class SparkSpec extends AnyFunSuite {
     assert(rows(SpatialJoin.cellJoin(geo, rects), "poly_id", "doc_id") == brute)
     assert(rows(SpatialJoin.rtreeJoin(geo, rects), "poly_id", "doc_id") == brute)
     assert(rows(SpatialJoin.saltedCellJoin(geo, rects), "poly_id", "doc_id") == brute)
+    // J6: shuffle-based Hilbert-range join, at two chunk resolutions
+    assert(rows(SpatialJoin.hilbertRangeJoin(geo, rects), "poly_id", "doc_id") == brute)
+    assert(rows(SpatialJoin.hilbertRangeJoin(geo, rects, res = 3), "poly_id", "doc_id") == brute)
     // skew exists: hot rect holds ~90% of docs
     val top = SpatialJoin.cellJoin(geo, rects).groupBy("poly_id").count()
       .orderBy(col("count").desc).head()
