@@ -225,11 +225,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // embedding-cosine near-dup pairs (exact values, scaled-int output)
+    // embedding-cosine near-dup pairs via the SCALE path (exact grid
+    // blocking — provably equal to the cross join, so the oracle holds)
     "q34_embed_cosine_pairs" -> ((s, dir) => {
       Similarity.cosinePairs(
           s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),
-          thresholdX10000 = 4000, dim = 64, bruteForce = true)
+          thresholdX10000 = 4000, dim = 64, bruteForce = false)
         .orderBy("id_a", "id_b")
     }),
 

@@ -74,20 +74,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     val brute = Similarity.bruteTopK(embeddings, q, 5)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = Similarity.lshTopK(embeddings, q, 5, 64, numPlanes = 4)
-      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute intersect ann).size.toDouble / brute.size
-    info(s"ANN recall@5 = $recall (${ann.size} returned)")
-    assert(recall >= 0.5, s"recall $recall below floor")
+    def recallAt(radius: Int): Double = {
+      val ann = Similarity.lshTopK(embeddings, q, 5, 64, numPlanes = 4, probeRadius = radius)
+        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect ann).size.toDouble / brute.size
+    }
+    // the multiprobe radius is the recall/cost dial; assert the ladder
+    val r2 = recallAt(2); val r3 = recallAt(3)
+    info(s"ANN recall@5: radius2 = $r2, radius3 = $r3")
+    assert(r2 >= 0.7, s"radius-2 recall $r2 below floor")
+    assert(r3 >= 0.9, s"radius-3 recall $r3 below floor")
+    assert(r3 >= r2)
   }
 
-  test("cosinePairs LSH-candidates is a subset of brute force with identical values") {
+  test("cosinePairs grid blocking EQUALS brute force (guaranteed-recall candidates)") {
     val brute = Similarity.cosinePairs(embeddings, 4000, 64, bruteForce = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val lsh = Similarity.cosinePairs(embeddings, 4000, 64, bruteForce = false, numPlanes = 4)
+    val blocked = Similarity.cosinePairs(embeddings, 4000, 64, bruteForce = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(lsh.subsetOf(brute))
+    assert(blocked == brute)
     assert(brute.nonEmpty)
+    // tighter threshold => tighter cells, still exact
+    val brute9 = Similarity.cosinePairs(embeddings, 9000, 64, bruteForce = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked9 = Similarity.cosinePairs(embeddings, 9000, 64, bruteForce = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked9 == brute9)
   }
 
   test("text stats are consistent") {
