@@ -56,12 +56,19 @@ object Ingest {
       .sortWithinPartitions(col("hilbert").desc)
   }
 
-  /** Write the clustered table + `_lineage` manifest. Returns the lineage DF. */
-  def write(docsGeo: DataFrame, outDir: String, numPartitions: Int): DataFrame = {
+  /** Write the clustered table + a NEW `_lineage/v=N` manifest snapshot
+    * (N strictly increasing — emulated Iceberg snapshot history: readers
+    * pin a version, [[lineageAt]] time-travels, [[lineage]] reads the
+    * latest; concurrent writers conflict only on the tiny snapshot dir
+    * create, which the filesystem makes atomic). The docs dir itself is
+    * last-writer-wins like a compaction rewrite. Returns the lineage DF.
+    */
+  def write(docsGeo: DataFrame, outDir: String, numPartitions: Int,
+            codec: String = "zstd"): DataFrame = {
     val spark = docsGeo.sparkSession
     clustered(docsGeo, numPartitions)
       .write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd")
+      .option("compression", codec)
       .parquet(s"$outDir/docs")
     val lineage = spark.read.parquet(s"$outDir/docs")
       // explicit projection: the stats scan must never deserialize spans
@@ -73,8 +80,32 @@ object Ingest {
         min("min_lng").as("min_lng"), min("min_lat").as("min_lat"),
         max("max_lng").as("max_lng"), max("max_lat").as("max_lat"),
         expr("bit_xor(xxhash64(doc_id))").as("checksum"))
-    lineage.write.mode(SaveMode.Overwrite).parquet(s"$outDir/_lineage")
-    spark.read.parquet(s"$outDir/_lineage")
+    val v = snapshots(spark, outDir).lastOption.getOrElse(0) + 1
+    lineage.write.mode(SaveMode.ErrorIfExists).parquet(s"$outDir/_lineage/v=$v")
+    lineageAt(spark, outDir, v)
+  }
+
+  /** All manifest snapshot versions, ascending. */
+  def snapshots(spark: SparkSession, tableDir: String): Seq[Int] = {
+    val path = new org.apache.hadoop.fs.Path(s"$tableDir/_lineage")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toInt }
+      .sorted
+  }
+
+  /** Time travel: the manifest as of snapshot `v`. */
+  def lineageAt(spark: SparkSession, tableDir: String, v: Int): DataFrame =
+    spark.read.parquet(s"$tableDir/_lineage/v=$v")
+
+  /** The latest manifest snapshot. */
+  def lineage(spark: SparkSession, tableDir: String): DataFrame = {
+    val vs = snapshots(spark, tableDir)
+    require(vs.nonEmpty, s"no lineage snapshots under $tableDir/_lineage")
+    lineageAt(spark, tableDir, vs.last)
   }
 
   /** Resumability: given the lineage of a previous (partial) run, return the

@@ -1,5 +1,6 @@
 package graft.table
 
+import graft.jobs.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,7 +16,7 @@ object Describe {
     * should be disjoint and descending under the clustered layout).
     */
   def layout(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(s"$tableDir/_lineage")
+    Ingest.lineage(spark, tableDir)
       .orderBy(col("max_hilbert").desc)
       .withColumn("hilbert_span", col("max_hilbert") - col("min_hilbert"))
 
@@ -23,7 +24,7 @@ object Describe {
     * reference's 17-byte header, lib.rs:91-97).
     */
   def summary(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(s"$tableDir/_lineage").agg(
+    Ingest.lineage(spark, tableDir).agg(
       sum("rows").as("doc_count"),
       count(lit(1)).as("file_count"),
       min("min_hilbert").as("min_hilbert"), max("max_hilbert").as("max_hilbert"),

@@ -1,0 +1,106 @@
+package graft
+
+import graft.codec.{DeltaZigZag, FeatureCodec}
+import graft.codec.FeatureCodec.{Feature, PBool, PFloat64, PInt64, PString, PValue}
+import graft.curve.Hilbert
+import graft.geom.{Envelope, Wkb, Wkt}
+import graft.index.PackedRTree
+import graft.sources.GeomedeaFile
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** The SURVEY §5 property suite (ScalaCheck, raw `Properties` — the
+  * scalatest bridge isn't in the offline cache): index queries equal
+  * brute force, the Hilbert layout is a permutation, and
+  * codecs/formatters are lossless over arbitrary inputs — the randomized
+  * generalization of the frozen goldens.
+  */
+object PropertiesSpec extends Properties("graft") {
+
+  private val coordLng = Gen.chooseNum(-1800000000, 1800000000)
+  private val coordLat = Gen.chooseNum(-900000000, 900000000)
+  private val point = for { x <- coordLng; y <- coordLat } yield Wkb.pack(x, y)
+
+  private val envelope = for {
+    x0 <- coordLng; x1 <- coordLng; y0 <- coordLat; y1 <- coordLat
+  } yield Envelope.fromCorners(x0, y0, x1, y1)
+
+  property("packed R-tree bbox query equals brute-force filter") =
+    Prop.forAll(Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, envelope)), envelope) {
+      (envs: List[Envelope], q: Envelope) =>
+        val leaves = envs.zipWithIndex.map { case (e, i) => (e, i.toLong, 0) }.toIndexedSeq
+        val tree = new PackedRTree(leaves.length.toLong, PackedRTree.build(leaves))
+        val got = tree.queryBbox(q).toSeq
+        val brute = leaves.filter(_._1.intersects(q)).map(_._2)
+        got.sorted == brute.sorted && got.distinct == got
+    }
+
+  property("Hilbert layout sort is a permutation with in-range keys") =
+    Prop.forAll(Gen.listOf(point)) { (pts: List[Long]) =>
+      val world = Envelope(-1800000000, -900000000, 1800000000, 900000000)
+      val keys = pts.map(p => Hilbert.scaled(Wkb.lngOf(p), Wkb.latOf(p), world))
+      val laidOut = pts.zip(keys).sortBy(-_._2).map(_._1)
+      laidOut.groupBy(identity).view.mapValues(_.size).toMap ==
+        pts.groupBy(identity).view.mapValues(_.size).toMap &&
+        keys.forall(k => k >= 0L && k <= 0xFFFFFFFFL)
+    }
+
+  property("Hilbert 16-bit cell index is injective") = {
+    val cell = Gen.chooseNum(0, 0xFFFF)
+    Prop.forAll(cell, cell, cell, cell) { (x1: Int, y1: Int, x2: Int, y2: Int) =>
+      ((x1, y1) == (x2, y2)) || Hilbert.index(x1, y1) != Hilbert.index(x2, y2)
+    }
+  }
+
+  private val geomGen: Gen[Wkb.Geom] = {
+    val coords = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, point)).map(_.toArray)
+    val rings = Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, coords)).map(_.toVector)
+    Gen.oneOf(
+      for { x <- coordLng; y <- coordLat } yield Wkb.Pt(x, y),
+      coords.map(Wkb.Line(_)),
+      rings.map(Wkb.Poly(_)),
+      coords.map(Wkb.MultiPt(_)),
+      rings.map(Wkb.MultiLine(_)),
+      Gen.choose(0, 2).flatMap(n => Gen.listOfN(n, rings)).map(ps => Wkb.MultiPoly(ps.toVector)))
+  }
+
+  private val pvalGen: Gen[PValue] = Gen.oneOf(
+    Gen.oneOf(true, false).map(PBool(_)),
+    Gen.chooseNum(Long.MinValue, Long.MaxValue).map(PInt64(_)),
+    Gen.chooseNum(-1e9, 1e9).map(PFloat64(_)),
+    Gen.alphaNumStr.map(PString(_)))
+
+  property("feature codec roundtrip preserves geometry + ordered props (span-sequence analog)") =
+    Prop.forAll(geomGen,
+      Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, Gen.zip(Gen.identifier, pvalGen))).map(_.toVector)) {
+      (g: Wkb.Geom, props: Vector[(String, PValue)]) =>
+        val back = FeatureCodec.decodeFeature(FeatureCodec.encodeFeature(Feature(g, props)))
+        Wkb.asText(back.geom) == Wkb.asText(g) && back.props == props
+    }
+
+  property("WKB and WKT roundtrips are lossless on scaled coords") =
+    Prop.forAll(geomGen) { (g: Wkb.Geom) =>
+      Wkb.asText(Wkb.read(Wkb.write(g))) == Wkb.asText(g) &&
+        Wkb.asText(Wkt.parse(Wkb.asText(g))) == Wkb.asText(g)
+    }
+
+  property("delta-zigzag codec roundtrips arbitrary int arrays") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(Int.MinValue, Int.MaxValue))) { (xs: List[Int]) =>
+      DeltaZigZag.decode(DeltaZigZag.encode(xs.toArray)).toSeq == xs
+    }
+
+  property("file container select_bbox equals brute filter across codecs and page sizes") =
+    Prop.forAll(
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, point)),
+      envelope,
+      Gen.oneOf(64L, 1024L, 1024L * 1024),
+      Gen.oneOf(true, false)) {
+      (pts: List[Long], q: Envelope, pageGoal: Long, compressed: Boolean) =>
+        val feats = pts.zipWithIndex.map { case (p, i) =>
+          Feature(Wkb.Pt(Wkb.lngOf(p), Wkb.latOf(p)), Vector("i" -> PInt64(i.toLong)))
+        }
+        val bytes = GeomedeaFile.write(feats, compressed, pageGoal)
+        val got = GeomedeaFile.selectBbox(bytes, q).map(_.props).toSet
+        val brute = feats.filter(_.geom.envelope.intersects(q)).map(_.props).toSet
+        got == brute && GeomedeaFile.selectAll(bytes).length == feats.length
+    }
+}

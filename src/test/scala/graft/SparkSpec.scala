@@ -106,6 +106,77 @@ class SparkSpec extends AnyFunSuite {
     assert(Ingest.pendingAfter(g, lineage).count() == 0)
   }
 
+  test("2x2 e2e matrix: {zstd, none} x {1, many partitions} ingest + bbox read-back") {
+    // the Spark analog of the reference's {compressed, uncompressed} x
+    // {single-page, multi-page} reader matrix (reader.rs:411-498)
+    val q = Envelope(-1183000000, 335000000, -1170000000, 345000000)
+    val brute = rows(SpatialJoin.bboxFilter(geo, q), "doc_id")
+    assert(brute.nonEmpty)
+    for {
+      codec <- Seq("zstd", "none")
+      parts <- Seq(1, 8)
+    } {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_m_${codec}_$parts").toString
+      Ingest.write(geo, out, numPartitions = parts, codec = codec)
+      val written = spark.read.parquet(s"$out/docs")
+      val files = written.select(input_file_name()).distinct().count()
+      if (parts == 1) assert(files == 1L, s"$codec/$parts") else assert(files > 1L, s"$codec/$parts")
+      assert(written.count() == geo.count(), s"$codec/$parts")
+      val got = rows(SpatialJoin.bboxFilter(written, q), "doc_id")
+      assert(got == brute, s"$codec/$parts")
+      // layout invariant holds in every configuration
+      val disorder = written
+        .withColumn("file", input_file_name())
+        .withColumn("prev", lag("hilbert", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("file").orderBy(monotonically_increasing_id())))
+        .where(col("prev").isNotNull && col("prev") < col("hilbert"))
+      assert(disorder.count() == 0, s"$codec/$parts")
+    }
+  }
+
+  test("manifest snapshots: every write appends a version; time travel reads history") {
+    val out = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    Ingest.write(geo, out, numPartitions = 4)
+    Ingest.write(geo.limit(100), out, numPartitions = 2)
+    assert(Ingest.snapshots(spark, out) == Seq(1, 2))
+    val v1 = Ingest.lineageAt(spark, out, 1).agg(sum("rows")).head().getLong(0)
+    val v2 = Ingest.lineageAt(spark, out, 2).agg(sum("rows")).head().getLong(0)
+    assert(v1 == geo.count() && v2 == 100L)
+    // latest == newest snapshot, and Describe reads the latest
+    assert(Ingest.lineage(spark, out).agg(sum("rows")).head().getLong(0) == 100L)
+    assert(graft.table.Describe.summary(spark, out).head().getLong(0) == 100L)
+  }
+
+  test("S6/S7 object-store scan planning: split batching is config-driven like the reference's range merging") {
+    // The reference's HTTP reader merges nearby byte ranges (threshold
+    // 16,000 bytes, packed_r_tree/reader.rs:159-161) and batches feature
+    // fetches (2x page goal with 1.1x overfetch, http_reader.rs:162-176).
+    // The Spark analogs are the file-source split-planning knobs:
+    // openCostInBytes (= the "merge small nearby reads" constant) and
+    // maxPartitionBytes (= the fetch batch size). This test pins the
+    // mapping executably: small batch size -> one split per file; large
+    // batch + open cost -> files coalesce into few splits.
+    val out = java.nio.file.Files.createTempDirectory("graft_scan").toString
+    Ingest.write(geo, out, numPartitions = 8)
+    def partitionsWith(maxPartitionBytes: String, openCost: String): Int = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      spark.conf.set("spark.sql.files.openCostInBytes", openCost)
+      try spark.read.parquet(s"$out/docs").rdd.getNumPartitions
+      finally {
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+    }
+    // 16 KiB batches with zero open cost: no two of our ~10 KiB files
+    // share a split, so >= one split per file; big batches + 4 MiB open
+    // cost coalesce them into few splits
+    val finegrained = partitionsWith("16384", "0")
+    val coalesced = partitionsWith("134217728", "4194304")
+    assert(finegrained >= 8, s"expected >= one split per file, got $finegrained")
+    // the floor is default parallelism (4 here) — files merged 2-per-split
+    assert(coalesced < finegrained && coalesced <= 4, s"coalesced=$coalesced fine=$finegrained")
+  }
+
   test("SQL registration: gm_/st_ functions usable from spark.sql") {
     val r = spark.sql(
       """SELECT gm_cell(-1182562000, 341060000, 4) AS cell,
