@@ -35,16 +35,14 @@ object Adapters {
   def coverEnv(minLng: Int, minLat: Int, maxLng: Int, maxLat: Int, res: Int): ArrayData =
     new GenericArrayData(Cells.cover(graft.geom.Envelope(minLng, minLat, maxLng, maxLat), res))
 
-  def coverWkb(wkb: Array[Byte], res: Int): ArrayData = {
-    val env = cachedGeom(wkb).envelope
-    new GenericArrayData(Cells.cover(env, res))
-  }
+  def coverWkb(wkb: Array[Byte], res: Int): ArrayData =
+    new GenericArrayData(Cells.cover(cachedEnvelope(wkb), res))
 
   def kring(cell: Long, res: Int, k: Int): ArrayData =
     new GenericArrayData(Cells.kRing(cell, res, k))
 
   def envelope(wkb: Array[Byte]): InternalRow = {
-    val e = cachedGeom(wkb).envelope
+    val e = cachedEnvelope(wkb)
     new GenericInternalRow(Array[Any](e.minLng, e.minLat, e.maxLng, e.maxLat))
   }
 
@@ -188,7 +186,21 @@ object Adapters {
   }
 
   private val geomCache = ThreadLocal.withInitial(() => lru[Wkb.Geom](256))
+  private val envCache = ThreadLocal.withInitial(() => lru[graft.geom.Envelope](256))
   private val treeCache = ThreadLocal.withInitial(() => lru[PackedRTree](8))
+
+  /** Envelope via the allocation-free streaming scan ([[Wkb.envelopeOf]]);
+    * large blobs additionally memoize the result so repeated build-side
+    * probes scan each big polygon once per task.
+    */
+  private def cachedEnvelope(wkb: Array[Byte]): graft.geom.Envelope = {
+    if (wkb.length <= 96) return Wkb.envelopeOf(wkb)
+    val cache = envCache.get()
+    val k = new Key(wkb)
+    var e = cache.get(k)
+    if (e == null) { e = Wkb.envelopeOf(wkb); cache.put(k, e) }
+    e
+  }
 
   private def cachedGeom(wkb: Array[Byte]): Wkb.Geom = {
     // tiny blobs (points, small rects) parse faster than they hash+probe;

@@ -174,6 +174,69 @@ object Wkb {
     Vector.fill(n)(readCoords(buf))
   }
 
+  // --- streaming envelope (allocation-free bbox scan) ---------------------
+
+  /** Envelope of a WKB blob WITHOUT materializing geometry objects — the
+    * hot-path form of `read(bytes).envelope` (identical result, asserted
+    * by property test): one forward scan, no arrays, no Geom allocation.
+    * Matches [[Geom.envelope]] semantics exactly, including "polygon bbox
+    * = exterior ring only" (`geometry/bounded.rs:30-41`) — hole rings are
+    * skipped by advancing the cursor.
+    */
+  def envelopeOf(bytes: Array[Byte]): Envelope = {
+    val buf = ByteBuffer.wrap(bytes)
+    envScan(buf)
+  }
+
+  private def envScanCoords(buf: ByteBuffer, e0: Envelope): Envelope = {
+    val n = buf.getInt()
+    var e = e0
+    var i = 0
+    while (i < n) {
+      val lng = ScaledCoord.roundScaled(buf.getDouble())
+      val lat = ScaledCoord.roundScaled(buf.getDouble())
+      e = e.extendPoint(lng, lat)
+      i += 1
+    }
+    e
+  }
+
+  private def skipCoords(buf: ByteBuffer): Unit = {
+    val n = buf.getInt()
+    buf.position(buf.position() + 16 * n)
+  }
+
+  private def envScan(buf: ByteBuffer): Envelope = {
+    val order = buf.get()
+    buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val raw = buf.getInt()
+    if ((raw & 0xE0000000) != 0 || raw > 7)
+      throw new IllegalArgumentException(
+        f"unsupported WKB type 0x$raw%08X (2D ISO WKB types 1-7 only)")
+    raw match {
+      case 1 =>
+        val lng = ScaledCoord.roundScaled(buf.getDouble())
+        val lat = ScaledCoord.roundScaled(buf.getDouble())
+        Envelope(lng, lat, lng, lat)
+      case 2 => envScanCoords(buf, Envelope.empty)
+      case 3 =>
+        val rings = buf.getInt()
+        if (rings == 0) Envelope.empty
+        else {
+          val e = envScanCoords(buf, Envelope.empty) // exterior ring only
+          var r = 1
+          while (r < rings) { skipCoords(buf); r += 1 }
+          e
+        }
+      case 4 | 5 | 6 | 7 =>
+        val n = buf.getInt()
+        var e = Envelope.empty
+        var i = 0
+        while (i < n) { e = e.union(envScan(buf)); i += 1 }
+        e
+    }
+  }
+
   // --- static helpers for Catalyst StaticInvoke --------------------------
 
   /** WKB of a point given scaled-int coords (used by the doc synthesizer). */
@@ -188,10 +251,10 @@ object Wkb {
   }
 
   /** Envelope of a WKB blob as packed struct fields; see GraftFunctions. */
-  def envMinLng(wkb: Array[Byte]): Int = read(wkb).envelope.minLng
-  def envMinLat(wkb: Array[Byte]): Int = read(wkb).envelope.minLat
-  def envMaxLng(wkb: Array[Byte]): Int = read(wkb).envelope.maxLng
-  def envMaxLat(wkb: Array[Byte]): Int = read(wkb).envelope.maxLat
+  def envMinLng(wkb: Array[Byte]): Int = envelopeOf(wkb).minLng
+  def envMinLat(wkb: Array[Byte]): Int = envelopeOf(wkb).minLat
+  def envMaxLng(wkb: Array[Byte]): Int = envelopeOf(wkb).maxLng
+  def envMaxLat(wkb: Array[Byte]): Int = envelopeOf(wkb).maxLat
 
   /** WKT debug formatting, mirroring `geometry/mod.rs:209-280` —
     * including the reference's `EMPTY` rendering for empty (nested)

@@ -77,6 +77,12 @@ object PropertiesSpec extends Properties("graft") {
         Wkb.asText(back.geom) == Wkb.asText(g) && back.props == props
     }
 
+  property("streaming envelopeOf equals materialized read().envelope") =
+    Prop.forAll(geomGen) { (g: Wkb.Geom) =>
+      val bytes = Wkb.write(g)
+      Wkb.envelopeOf(bytes) == Wkb.read(bytes).envelope
+    }
+
   property("WKB and WKT roundtrips are lossless on scaled coords") =
     Prop.forAll(geomGen) { (g: Wkb.Geom) =>
       Wkb.asText(Wkb.read(Wkb.write(g))) == Wkb.asText(g) &&
