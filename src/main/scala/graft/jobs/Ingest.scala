@@ -69,6 +69,11 @@ object Ingest {
     clustered(docsGeo, numPartitions)
       .write.mode(SaveMode.Overwrite)
       .option("compression", codec)
+      // zstd level 1, not the parquet default (3): measured 2.1x faster
+      // encode for +2% file size on the interleaved table (90.3 s vs
+      // 42.5 s for the same 2M-doc write) — at 100 TB the encode CPU is
+      // the ingest bottleneck, the 2% transfer delta is noise
+      .option("parquet.compression.codec.zstd.level", "1")
       .parquet(s"$outDir/docs")
     val lineage = spark.read.parquet(s"$outDir/docs")
       // explicit projection: the stats scan must never deserialize spans

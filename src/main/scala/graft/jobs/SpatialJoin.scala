@@ -47,7 +47,18 @@ object SpatialJoin {
     refined(pts.join(broadcast(polyCells), Seq("cell"), "inner")).drop("cell")
   }
 
-  /** Strategy 2: broadcast packed R-tree probe (no shuffle of either side). */
+  /** Max serialized tree size shipped as a plan literal. The tree rides
+    * in the generated plan (codegen-friendly StaticInvoke, per-task LRU
+    * decode) rather than a TorrentBroadcast — equivalent distribution
+    * cost at this size, but a literal bloats every task binary if it
+    * grows, so past this bound the caller should use [[cellJoin]]
+    * (broadcast hash join) or [[hilbertRangeJoin]] (shuffle).
+    */
+  val MaxTreeLiteralBytes: Int = 8 << 20 // 8 MiB ~ 300k leaves
+
+  /** Strategy 2: driver-built packed R-tree probe (no shuffle of either
+    * side; the tree ships inside the plan — see [[MaxTreeLiteralBytes]]).
+    */
   def rtreeJoin(points: DataFrame, polys: DataFrame): DataFrame = {
     val build = polys.select("poly_id", "p_min_lng", "p_min_lat", "p_max_lng", "p_max_lat")
       .collect()
@@ -60,6 +71,9 @@ object SpatialJoin {
       (env, r.getLong(0), graft.curve.Hilbert.scaled(env.centerLng, env.centerLat, ext))
     }.sortBy(-_._3).map { case (env, id, _) => (env, id, 0) }.toIndexedSeq
     val treeBytes = PackedRTree.build(leaves)
+    require(treeBytes.length <= MaxTreeLiteralBytes,
+      s"build side too large for a plan-literal R-tree (${treeBytes.length} bytes > " +
+        s"$MaxTreeLiteralBytes); use cellJoin (broadcast) or hilbertRangeJoin (shuffle)")
     val pts = points.withColumn("poly_id",
       explode(rtreeHits(treeBytes, leaves.length.toLong,
         col("lng"), col("lat"), col("lng"), col("lat"))))

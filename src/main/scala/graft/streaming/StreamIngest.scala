@@ -43,6 +43,7 @@ object StreamIngest {
           .withColumn("hilbert", gmHilbert(col("lng"), col("lat"),
             lit(-1800000000), lit(-900000000), lit(1800000000), lit(900000000)))
         geo.write.mode("append").option("compression", "zstd")
+          .option("parquet.compression.codec.zstd.level", "1") // see Ingest.write
           .parquet(s"$outDir/docs")
         geo.groupBy(lit(batchId).as("batch_id"))
           .agg(
