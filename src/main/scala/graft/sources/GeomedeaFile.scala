@@ -115,12 +115,23 @@ object GeomedeaFile {
     }.toVector
   }
 
+  /** Read accounting for the indexed scan — the analog of the
+    * reference's request/byte counting (`CountingReader`, and the README
+    * measurement "153 requests, 81,175,859 bytes"): each fetched page is
+    * one coalesced "request".
+    */
+  final case class BboxRead(features: Vector[Feature], pagesFetched: Long,
+                            totalPages: Long, bytesFetched: Long, totalBytes: Long)
+
   /** Indexed bbox scan (S5/X3 twin): R-tree query -> page-local reads.
     * Emits features in tree (layout) order, like `reader.rs:25-49`.
     */
-  def selectBbox(bytes: Array[Byte], q: Envelope): Vector[Feature] = {
+  def selectBbox(bytes: Array[Byte], q: Envelope): Vector[Feature] =
+    selectBboxCounted(bytes, q).features
+
+  def selectBboxCounted(bytes: Array[Byte], q: Envelope): BboxRead = {
     val r = new R(bytes)
-    val (compressed, _, featureCount) = FeatureCodec.decodeHeader(r)
+    val (compressed, pageCount, featureCount) = FeatureCodec.decodeHeader(r)
     val treeBytes = r.take((PackedRTree.nodeCount(featureCount) * PackedRTree.NodeBytes).toInt)
     val pageSectionStart = r.pos
     val tree = new PackedRTree(featureCount, treeBytes)
@@ -128,16 +139,20 @@ object GeomedeaFile {
     // query returns leaf payloads in tree order; group by page to read
     // each hit page once (the moral twin of the reader's range merging)
     val locs = tree.queryBboxLocations(q)
+    var fetched = 0L
     val byPage = locs.map(_._1).distinct.map { pageOff =>
       val pr = new R(bytes, pageSectionStart + pageOff.toInt)
       val (body, _) = decodePage(pr, compressed)
+      fetched += pr.pos - (pageSectionStart + pageOff.toInt)
       pageOff -> body
     }.toMap
-    locs.map { case (pageOff, featOff) =>
+    val feats = locs.map { case (pageOff, featOff) =>
       val pr = new R(byPage(pageOff), featOff)
       val len = pr.u64().toInt
       FeatureCodec.decodeFeature(pr.take(len))
     }
+    BboxRead(feats, byPage.size.toLong, pageCount, fetched,
+      (bytes.length - pageSectionStart).toLong)
   }
 
   def header(bytes: Array[Byte]): (Boolean, Long, Long) =

@@ -1,0 +1,139 @@
+package graft
+
+import graft.codec.FeatureCodec.{Feature, PInt64}
+import graft.geom.{Envelope, ScaledCoord, Wkb}
+import graft.jobs.{Ingest, SpatialJoin, Similarity}
+import graft.table.{InterleavedDocs, ScanMetrics}
+import graft.sources.GeomedeaFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guards: the physical plans the engine was
+  * designed to produce, asserted so a refactor can't silently degrade
+  * them — plus F10 scan-metrics evidence turning the pruning claims into
+  * numbers (the analog of the reference's request/byte measurements).
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.maxMetadataStringLength", "10000") // full PushedFilters in plans
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  lazy val geo: DataFrame = InterleavedDocs.withGeometry(InterleavedDocs.docs(spark, Sf)).cache()
+  lazy val rects: DataFrame = InterleavedDocs.nationRects(spark, Sf)
+
+  private def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+
+  test("cellJoin plans a broadcast hash equi-join with inlined PIP refinement — never a cross product") {
+    val p = plan(SpatialJoin.cellJoin(geo, rects))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("static_invoke") || p.contains("staticinvoke"), p) // codegen'd containsWkb
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("hilbertRangeJoin leaves the join strategy to Catalyst: broadcast when tiny, SHUFFLE when large") {
+    // at test scale Catalyst auto-broadcasts the tiny build side — fine;
+    // the strategy must NOT force a broadcast, so with auto-broadcast off
+    // (simulating a build side over the threshold) it must plan a
+    // shuffle equi-join, never a cross product
+    val default = plan(SpatialJoin.hilbertRangeJoin(geo, rects))
+    assert(!default.contains("CartesianProduct") && !default.contains("BroadcastNestedLoopJoin"), default)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(SpatialJoin.hilbertRangeJoin(geo, rects))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+      // contrast: cellJoin FORCES broadcast via hint even with the
+      // threshold off (its contract is a broadcastable build side)
+      val cell = plan(SpatialJoin.cellJoin(geo, rects))
+      assert(cell.contains("BroadcastHashJoin"), cell)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("cosinePairs grid blocking plans an equi-join on cells — never a cross product") {
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet").select("vec_id", "embedding")
+    val p = plan(Similarity.cosinePairs(e, 4000, 64, bruteForce = false))
+    assert(p.contains("Join") && p.contains("gcell"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bbox over the written layout pushes all four bounds into the parquet scan and prunes bytes (F10)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Ingest.write(geo, out, numPartitions = 4)
+    val written = spark.read.parquet(s"$out/docs")
+    val q = Envelope(-1183000000, 335000000, -1170000000, 345000000)
+    val bboxed = SpatialJoin.bboxFilter(written, q)
+      .select("doc_id", "lng", "lat") // narrow projection: spans never read
+    val p = bboxed.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:"), p)
+    for (f <- Seq("GreaterThanOrEqual(max_lng,-1183000000)", "GreaterThanOrEqual(max_lat,335000000)",
+      "LessThanOrEqual(min_lng,-1170000000)", "LessThanOrEqual(min_lat,345000000)"))
+      assert(p.contains(f), s"missing pushed filter $f in:\n$p")
+    assert(!p.contains("spans") || !p.substring(p.indexOf("ReadSchema")).contains("spans"),
+      "spans column must not be read")
+
+    // F10 numbers — the reference's flagship claim, measured: the SAME
+    // bbox query over the Hilbert-clustered layout skips row groups via
+    // parquet min/max stats (recordsRead counts rows the reader actually
+    // decoded, after row-group skip), while a hash-random layout of the
+    // same rows cannot skip (every row group straddles the query rect).
+    // This is the distributed analog of "153 requests / 81 MB (indexed)
+    // vs 310 / 340 MB (not)" from the reference README. (bytesRead from
+    // FS statistics is unreliable at KB file sizes — footer/dictionary
+    // re-reads dominate — so rows are the assertion.)
+    // F10 at a statistics-meaningful size: 50k synthesized points (same
+    // skew formulas), Hilbert-clustered vs hash-random layout, COLD query
+    // rect (away from the hot cluster). Under the clustered layout the
+    // cold rows live in few Hilbert ranges so most row groups' min/max
+    // stats exclude the rect (recordsRead counts rows the reader actually
+    // decoded after row-group skip); the random layout can't skip.
+    val id = col("id")
+    val lngC = InterleavedDocs.lngOf(id).cast("int")
+    val latC = InterleavedDocs.latOf(id).cast("int")
+    val big = spark.range(50000).select(
+      format_string("doc-%09d", id).as("doc_id"),
+      lngC.as("lng"), latC.as("lat"),
+      lngC.as("min_lng"), latC.as("min_lat"), lngC.as("max_lng"), latC.as("max_lat"))
+    val outC = java.nio.file.Files.createTempDirectory("graft_pq_clu").toString
+    Ingest.write(big, outC, numPartitions = 8)
+    val outR = java.nio.file.Files.createTempDirectory("graft_pq_rand").toString
+    big.repartition(8, col("doc_id")).write.parquet(s"$outR/docs")
+    val clusteredT = spark.read.parquet(s"$outC/docs")
+    val randomT = spark.read.parquet(s"$outR/docs")
+    val cold = Envelope(0, 0, 300000000, 300000000)
+    val clustered = ScanMetrics.measure(
+      SpatialJoin.bboxFilter(clusteredT, cold).select("doc_id", "lng", "lat"))
+    val random = ScanMetrics.measure(
+      SpatialJoin.bboxFilter(randomT, cold).select("doc_id", "lng", "lat"))
+    info(s"clustered layout: $clustered; random layout: $random")
+    assert(clustered.recordsRead < random.recordsRead,
+      s"clustered $clustered should decode fewer rows than random $random")
+    // both layouts return the same (non-empty) answer
+    val n = SpatialJoin.bboxFilter(clusteredT, cold).count()
+    assert(n > 0 && n == SpatialJoin.bboxFilter(randomT, cold).count())
+  }
+
+  test("file container bbox read fetches a strict subset of pages + bytes (S7 coalesced-request analog)") {
+    val feats = (0 until 500).map { i =>
+      Feature(Wkb.Pt(ScaledCoord.toScaled(-170 + i * 0.68), ScaledCoord.toScaled(-80 + (i * 31 % 160))),
+        Vector("i" -> PInt64(i.toLong)))
+    }
+    val bytes = GeomedeaFile.write(feats, compressed = true, pageSizeGoal = 1024)
+    val read = GeomedeaFile.selectBboxCounted(bytes, Envelope.fromDegrees(-60, -40, -20, 0))
+    info(s"pages ${read.pagesFetched}/${read.totalPages}, bytes ${read.bytesFetched}/${read.totalBytes}")
+    assert(read.features.nonEmpty)
+    assert(read.totalPages > 4)
+    assert(read.pagesFetched < read.totalPages)
+    assert(read.bytesFetched < read.totalBytes)
+    // Hilbert clustering makes spatial locality = page locality: the hit
+    // pages hold a bounded superset of the hits
+    assert(read.features.size.toLong * 4 >= read.pagesFetched)
+  }
+}
