@@ -254,6 +254,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN top-k, probing all lists (exact => oracled; the recall/cost
+    // ladder at smaller nProbe is asserted in tests)
+    "q41_sim_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+      val q = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.ivfTopK(e, q, k = 5, dim = 64, nLists = 16, nProbe = 16)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // text stats: token counts, quality scores (scaled ints)
     "q37_text_stats" -> ((s, dir) => {
       TextOps.stats(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
@@ -402,6 +413,18 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q35_sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id % 50 = 0),
+        |d AS (SELECT q.query_id, e.vec_id,
+        |             list_dot_product(e.emb, q.q_emb)
+        |             / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cos
+        |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM d)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q41_sim_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id % 50 = 0),
         |d AS (SELECT q.query_id, e.vec_id,

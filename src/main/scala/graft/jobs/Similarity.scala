@@ -96,6 +96,81 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
+    * path: a small spherical k-means codebook is trained DRIVER-SIDE on a
+    * deterministic sample (Lloyd's iterations over normalized vectors),
+    * every doc is assigned to its nearest centroid (`list` — the
+    * inverted file key, a plain equi-join column), and each query probes
+    * its `nProbe` closest centroids, ranking exact cosine among those
+    * lists only. Work per query is proportional to the probed lists'
+    * sizes, not |docs|; the shuffle key is `list`, so at 100 TB this is
+    * one broadcast (queries) hash join over a clustered-by-list layout.
+    *
+    * nProbe = nLists probes every list and is EXACT (equals
+    * [[bruteTopK]] — every doc is in exactly one list), which is how the
+    * driver oracle checks it; smaller nProbe trades recall for cost
+    * (ladder asserted in tests).
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nLists: Int = 16, nProbe: Int = 4, sampleEvery: Int = 7,
+              iterations: Int = 10): DataFrame = {
+    // --- train the codebook on a deterministic sample, driver-side ------
+    val sample = embeddings.where(col("vec_id") % sampleEvery === 0)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .filter(v => v.exists(_ != 0.0))
+    require(sample.length >= nLists, s"sample ${sample.length} < nLists $nLists")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var centroids: Array[Array[Double]] = sample.take(nLists).map(normalize)
+    val normSample = sample.map(normalize)
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Int](nLists)
+      normSample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < nLists) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) else normalize(sums(c))
+      }.toArray
+    }
+
+    // --- assign docs to lists; queries to their nProbe closest lists ----
+    // argmax over unit centroids needs no doc normalization:
+    // argmax cos(v, c) = argmax dot(v, c-hat)
+    def dotsOf(emb: Column) = array(centroids.map(c => dot(emb, lit(c))): _*)
+    val docs = embeddings
+      .withColumn("_d", dotsOf(col("embedding")))
+      .withColumn("list", (array_position(col("_d"), array_max(col("_d"))) - 1).cast("int"))
+      .drop("_d")
+    val probeStructs = centroids.indices.map(i =>
+      struct((-dot(col("q_embedding"), lit(centroids(i)))).as("negd"), lit(i).as("list")))
+    val qProbes = queries
+      .withColumn("p", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
+      .select(col("query_id"), col("q_embedding"), col("p.list").as("list"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    docs.join(broadcast(qProbes), Seq("list"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_embedding")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos >= threshold).
     *
     * The scale path uses EXACT grid blocking — guaranteed to return the

@@ -87,6 +87,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r3 >= r2)
   }
 
+  test("IVF top-k: exact when probing all lists; recall/cost ladder below") {
+    val q = embeddings.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val brute = Similarity.bruteTopK(embeddings, q, 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ivf(nProbe: Int): Set[(Long, Long)] =
+      Similarity.ivfTopK(embeddings, q, 5, 64, nLists = 16, nProbe = nProbe)
+        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf(16) == brute) // all lists probed => exact
+    val r4 = (brute intersect ivf(4)).size.toDouble / brute.size
+    val r8 = (brute intersect ivf(8)).size.toDouble / brute.size
+    info(s"IVF recall@5: nProbe4 = $r4, nProbe8 = $r8")
+    assert(r4 >= 0.5 && r8 >= r4, s"r4=$r4 r8=$r8")
+  }
+
   test("cosinePairs grid blocking EQUALS brute force (guaranteed-recall candidates)") {
     val brute = Similarity.cosinePairs(embeddings, 4000, 64, bruteForce = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
