@@ -188,21 +188,28 @@ object Bench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     geo.count() // warm
 
-    val (tSalted, _) = time {
-      SpatialJoin.saltedCellJoin(geo, rects).agg(count(lit(1))).head()
+    // single-run numbers vary 5-7x in this sandbox (measured: the same
+    // knn 3.4 s vs 22.7 s minutes apart) — warm once, report median of 3
+    def med3(f: => Unit): Double = {
+      f
+      Seq(time(f)._1, time(f)._1, time(f)._1).sorted.apply(1)
     }
 
-    val (tRange, _) = time {
-      SpatialJoin.hilbertRangeJoin(geo, rects).agg(count(lit(1))).head()
+    val tSalted = med3 {
+      SpatialJoin.saltedCellJoin(geo, rects).agg(count(lit(1))).head(); ()
     }
 
-    val (tKnn, _) = time {
-      Knn.knn(geo, InterleavedDocs.nationQueryPoints(spark, sfDir), k = 3).agg(count(lit(1))).head()
+    val tRange = med3 {
+      SpatialJoin.hilbertRangeJoin(geo, rects).agg(count(lit(1))).head(); ()
     }
 
-    val (tBbox, _) = time {
+    val tKnn = med3 {
+      Knn.knn(geo, InterleavedDocs.nationQueryPoints(spark, sfDir), k = 3).agg(count(lit(1))).head(); ()
+    }
+
+    val tBbox = med3 {
       SpatialJoin.bboxFilter(geo, Envelope(-1183000000, 335000000, -1170000000, 345000000))
-        .agg(count(lit(1))).head()
+        .agg(count(lit(1))).head(); ()
     }
 
     // ingest: read the interleaved table -> parse -> extent -> hilbert ->
@@ -214,12 +221,12 @@ object Bench {
     }
 
     // pruned read-back of the clustered layout (the select_bbox read path)
-    val (tPruned, _) = time {
+    val tPruned = med3 {
       val written = spark.read.parquet(s"$outDir/docs")
       written.where(
         col("max_lng") >= -1183000000 && col("max_lat") >= 335000000 &&
           col("min_lng") <= -1170000000 && col("min_lat") <= 345000000)
-        .agg(count(lit(1))).head()
+        .agg(count(lit(1))).head(); ()
     }
 
     val docsPerSec = nDocs / tJoinTiles

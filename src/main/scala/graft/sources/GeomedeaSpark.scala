@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.codec.FeatureCodec.Feature
+import graft.expr.GraftFunctions._
+import graft.sources.GeoJsonIngest.PropCell
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark <-> single-file container bridge: lets a reference user's
+  * existing `.geomedea` files flow through the engine (S8/S9 for the
+  * native format, alongside the GeoJSON bridge).
+  *
+  * The container is a single-node format (one header + one index +
+  * sequential pages), so [[read]] decodes on the driver and
+  * parallelizes rows, and [[write]] collects — both bounded by
+  * [[MaxFileBytes]]. The 100 TB path is `Ingest.write`'s parquet layout;
+  * this bridge is for interop at the reference's own file sizes (its
+  * published fixtures are 5-13 MB).
+  */
+object GeomedeaSpark {
+
+  val MaxFileBytes: Long = 256L << 20
+
+  /** .geomedea file -> the engine's geometry frame (wkb + typed props +
+    * envelope stat columns), in the file's Hilbert layout order.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    require(bytes.length <= MaxFileBytes, s"${bytes.length} bytes > $MaxFileBytes")
+    val rows = GeomedeaFile.selectAll(bytes).zipWithIndex.map { case (f, i) =>
+      GeoJsonIngest.FeatRow(i.toLong, graft.geom.Wkb.write(f.geom),
+        f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) },
+        f.props.map(_._1),
+        f.props.map { case (_, v) => GeoJson.propValueString(v) })
+    }
+    rows.toDF()
+      .withColumn("env", stEnvelope(col("wkb")))
+      .select(col("*"),
+        col("env.min_lng").as("min_lng"), col("env.min_lat").as("min_lat"),
+        col("env.max_lng").as("max_lng"), col("env.max_lat").as("max_lat"))
+      .drop("env")
+  }
+
+  /** Geometry frame (wkb + props) -> .geomedea file bytes on disk. The
+    * writer applies the format's own Hilbert-desc layout; input order is
+    * irrelevant.
+    */
+  def write(df: DataFrame, path: String, compressed: Boolean,
+            pageSizeGoal: Long = GeomedeaFile.DefaultPageSizeGoal): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = df.select(col("wkb"), col("props"))
+      .as[(Array[Byte], Seq[PropCell])]
+      .collect()
+      .map { case (wkb, cells) =>
+        Feature(graft.geom.Wkb.read(wkb), cells.map(GeoJsonIngest.fromCell).toVector)
+      }
+    val bytes = GeomedeaFile.write(feats.toSeq, compressed, pageSizeGoal)
+    require(bytes.length <= MaxFileBytes, s"${bytes.length} bytes > $MaxFileBytes")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+}

@@ -124,6 +124,32 @@ class GeoJsonSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](toCell("v", PVec(Vector(PBool(true)))))
   }
 
+  test("native-format bridge: places.json through GeoJSON -> .geomedea -> Spark keeps the reference goldens") {
+    // GeoJSON ingest -> write the reference's own file format -> read it
+    // back through Spark: 1249 features, bbox (90,40)-(100,50) -> 3
+    // (geozero_writer.rs:645-663, benches/file_read.rs:30-44), typed
+    // props preserved
+    import graft.sources.GeomedeaSpark
+    val df = GeoJsonIngest.fromFeatureCollection(spark, s"$Fixtures/places.json")
+    for (compressed <- Seq(false, true)) {
+      val path = java.nio.file.Files.createTempDirectory("gmfile").toString + "/places.geomedea"
+      GeomedeaSpark.write(df, path, compressed, pageSizeGoal = 8 * 1024) // ref bench page goal
+      val back = GeomedeaSpark.read(spark, path)
+      assert(back.count() == 1249)
+      val q = Envelope.fromDegrees(90, 40, 100, 50)
+      val hits = back.where(
+        col("max_lng") >= q.minLng && col("max_lat") >= q.minLat &&
+          col("min_lng") <= q.maxLng && col("min_lat") <= q.maxLat).count()
+      assert(hits == 3, s"compressed=$compressed")
+      // typed props survive the native format (multiset equality: the
+      // file applies its own Hilbert layout order)
+      def propBag(d: org.apache.spark.sql.DataFrame) =
+        d.selectExpr("explode(props) AS p").groupBy("p").count()
+          .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+      assert(propBag(back) == propBag(df), s"compressed=$compressed")
+    }
+  }
+
   test("export job emits parseable features preserving property order") {
     val df = GeoJsonIngest.fromFeatureCollection(spark, s"$Fixtures/countries.geojson").limit(5)
     val out = GeoJsonIngest.toGeoJsonFeatures(df).collect().map(_.getString(0))
