@@ -1,0 +1,38 @@
+package graft.table
+
+import graft.jobs.Ingest
+import org.apache.spark.sql.SparkSession
+
+/** `info` CLI (S11 — the analog of `geomedea/src/bin/info.rs`): print an
+  * ingested table's header-style summary, per-file layout, and manifest
+  * snapshot history.
+  *
+  *   sbt "runMain graft.table.Info /path/to/table"
+  */
+object Info {
+  def render(spark: SparkSession, tableDir: String): String = {
+    val sb = new StringBuilder
+    val s = Describe.summary(spark, tableDir).head()
+    sb.append(s"table: $tableDir\n")
+    sb.append(s"doc_count: ${s.getLong(0)}  file_count: ${s.getLong(1)}\n")
+    sb.append(s"hilbert: ${s.getLong(2)}..${s.getLong(3)}\n")
+    sb.append(s"extent: RECT(${s.getInt(4)} ${s.getInt(5)},${s.getInt(6)} ${s.getInt(7)})\n")
+    sb.append(s"snapshots: ${Ingest.snapshots(spark, tableDir).mkString(", ")}\n")
+    sb.append("layout (hilbert-desc):\n")
+    Describe.layout(spark, tableDir).collect().foreach { r =>
+      sb.append(s"  rows=${r.getAs[Long]("rows")} hilbert=[${r.getAs[Long]("min_hilbert")}..${r.getAs[Long]("max_hilbert")}]" +
+        s" span=${r.getAs[Long]("hilbert_span")} checksum=${r.getAs[Long]("checksum")}\n")
+    }
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: graft.table.Info <tableDir>")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    print(render(spark, args(0)))
+    spark.stop()
+  }
+}

@@ -44,7 +44,7 @@ class PolyFixturesSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // hot cluster sits inside the US extent
   }
 
-  test("Describe.layout/summary reflect the written table") {
+  test("Describe.layout/summary and the Info CLI reflect the written table") {
     val geo = InterleavedDocs.withGeometry(InterleavedDocs.docs(spark, Sf))
     val out = java.nio.file.Files.createTempDirectory("graft_desc").toString
     graft.jobs.Ingest.write(geo, out, numPartitions = 4)
@@ -52,5 +52,10 @@ class PolyFixturesSpec extends AnyFunSuite {
     assert(summary.getLong(0) == geo.count())
     val layout = Describe.layout(spark, out).collect()
     assert(layout.nonEmpty && layout.forall(_.getAs[Long]("hilbert_span") >= 0))
+    // S11 info CLI rendering
+    val info = graft.table.Info.render(spark, out)
+    assert(info.contains(s"doc_count: ${geo.count()}"))
+    assert(info.contains("snapshots: 1"))
+    assert(info.contains("layout (hilbert-desc):"))
   }
 }

@@ -190,6 +190,18 @@ class SparkSpec extends AnyFunSuite {
     assert(r.getAs[Int]("two") == 2)
   }
 
+  test("GraftExtensions injects the SQL surface (spark.sql.extensions deployment path)") {
+    val reg = spark.sessionState.functionRegistry
+    val fn = org.apache.spark.sql.catalyst.FunctionIdentifier("gm_cell")
+    reg.dropFunction(fn)
+    assert(!reg.functionExists(fn))
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftSqlShim.applyCheckRules(ext, spark)
+    assert(reg.functionExists(fn))
+    assert(spark.sql("SELECT gm_cell(0, 0, 4)").head().getLong(0) >= 0)
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
