@@ -106,8 +106,16 @@ object Hilbert {
     * extent). Uses the same coordinate projection as [[scaled]], so a
     * point inside `env` always lands in one of the returned chunks.
     */
+  /** Cap on per-envelope chunk fan-out: a cover bigger than this means
+    * the resolution is far too fine for the geometry — fail loudly
+    * instead of exploding the join (and instead of overflowing 32-bit
+    * size math at res=16 over a world-spanning envelope).
+    */
+  val MaxChunksPerEnvelope: Long = 1L << 22
+
   def chunksOfEnvelope(env: Envelope, extent: Envelope, res: Int): Array[Long] = {
     require(res >= 1 && res <= 16, s"res $res out of 1..16")
+    if (env.isEmpty) return Array.empty
     val shift = 16 - res
     def xc(lng: Int): Int = {
       val w = extent.lngWidth
@@ -121,7 +129,10 @@ object Hilbert {
     }
     val cx0 = xc(env.minLng) >>> shift; val cx1 = xc(env.maxLng) >>> shift
     val cy0 = yc(env.minLat) >>> shift; val cy1 = yc(env.maxLat) >>> shift
-    val out = new Array[Long]((cx1 - cx0 + 1) * (cy1 - cy0 + 1))
+    val count = (cx1 - cx0 + 1).toLong * (cy1 - cy0 + 1).toLong
+    require(count <= MaxChunksPerEnvelope,
+      s"envelope covers $count order-$res chunks (> $MaxChunksPerEnvelope); lower res")
+    val out = new Array[Long](count.toInt)
     var i = 0
     var cy = cy0
     while (cy <= cy1) {

@@ -234,6 +234,8 @@ object Wkb {
         var i = 0
         while (i < n) { e = e.union(envScan(buf)); i += 1 }
         e
+      case other => // same failure surface as readGeom for corrupt input
+        throw new IllegalArgumentException(s"unsupported WKB type $other")
     }
   }
 

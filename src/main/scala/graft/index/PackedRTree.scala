@@ -150,26 +150,11 @@ final class PackedRTree(val numLeaves: Long, val bytes: Array[Byte]) extends Ser
   def payloadLo(idx: Long): Int = i32((idx * NodeBytes).toInt + 24)
 
   /** BFS bbox query; emits leaf payloadHi values in tree (Hilbert) order
-    * (`reader.rs:25-49`).
+    * (`reader.rs:25-49`). Shares the traversal with
+    * [[queryBboxLocations]].
     */
-  def queryBbox(q: Envelope): Array[Long] = {
-    if (numLeaves == 0) return Array.empty
-    val results = mutable.ArrayBuffer[Long]()
-    val queue = mutable.Queue[(Long, Long)]((0L, 1L))
-    val leafStart = nodeRangesByLevel(numLeaves).last._1
-    while (queue.nonEmpty) {
-      val (s, e) = queue.dequeue()
-      var idx = s
-      while (idx < e) {
-        if (nodeEnvelope(idx).intersects(q)) {
-          if (idx >= leafStart) results += payloadHi(idx)
-          else childrenRange(numLeaves, idx).foreach(queue.enqueue(_))
-        }
-        idx += 1
-      }
-    }
-    results.toArray
-  }
+  def queryBbox(q: Envelope): Array[Long] =
+    queryBboxLocations(q).map(_._1).toArray
 
   /** Like [[queryBbox]] but emits both payload halves — for the file
     * reader these are `FeatureLocation = (page_starting_offset,

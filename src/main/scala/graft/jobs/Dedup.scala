@@ -56,14 +56,19 @@ object Dedup {
   }
 
   /** Shingle document-frequency cap for candidate generation. A trigram
-    * shared by more docs than this is dropped from CANDIDATE GENERATION
-    * (never from the Jaccard numerator/denominator, which always use the
-    * full shingle sets): one hot boilerplate trigram otherwise produces
-    * df^2/2 candidate pairs — the classic quadratic blowup at 100 TB. A
-    * true near-dup pair (Jaccard >= 0.5) shares many shingles, so it is
-    * missed only if EVERY shared shingle is hot — vanishingly unlikely,
-    * and impossible at test scale (no trigram reaches the cap), so oracle
-    * outputs are unchanged.
+    * shared by more docs than this produces df^2/2 all-pairs candidates —
+    * the classic quadratic blowup at 100 TB — so hot shingles switch from
+    * ALL-PAIRS to ANCHOR-STAR generation: every doc sharing the hot
+    * shingle pairs with that shingle's minimum doc_id (O(df) pairs).
+    * Jaccard itself is always computed on the full shingle sets.
+    *
+    * Semantics with the cap active: the pair list is exact for pairs
+    * sharing at least one rare shingle; docs whose EVERY shared shingle
+    * is hot (mass-duplicated boilerplate — the case a dedup pipeline
+    * exists for) are still discovered through their anchor's verified
+    * star, which keeps the duplicate CLUSTER connected for the
+    * connected-component canonicalization pass, without materializing
+    * its quadratic pair set.
     */
   val DefaultMaxShingleDf = 10000
 
@@ -97,13 +102,21 @@ object Dedup {
     val sh = corpus
       .withColumn("sh", explode(shingles(col("text"))))
       .select(col("doc_id"), col("sh"))
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxShingleDf).select("sh")
-    val capped = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    // hot shingles are few by definition — broadcastable with their anchor
+    val hot = sh.groupBy("sh")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("anchor"))
+      .where(col("df") > maxShingleDf)
+      .select("sh", "anchor")
+    val capped = sh.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti")
     val a = capped.as("a"); val b = capped.as("b")
-    val candidates = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    val rarePairs = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    // anchor-star pairs for hot shingles: O(df) rows, keeps mass-dup
+    // clusters connected (anchor = min doc_id, so id_a < id_b holds)
+    val anchorPairs = sh.join(broadcast(hot), Seq("sh"))
+      .where(col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("id_a"), col("doc_id").as("id_b"))
+    val candidates = rarePairs.unionByName(anchorPairs).distinct()
     jaccardOnPairs(corpus, candidates, thresholdX10000)
   }
 

@@ -85,8 +85,23 @@ object Ingest {
         min("min_lng").as("min_lng"), min("min_lat").as("min_lat"),
         max("max_lng").as("max_lng"), max("max_lat").as("max_lat"),
         expr("bit_xor(xxhash64(doc_id))").as("checksum"))
-    val v = snapshots(spark, outDir).lastOption.getOrElse(0) + 1
-    lineage.write.mode(SaveMode.ErrorIfExists).parquet(s"$outDir/_lineage/v=$v")
+    // snapshot publish: write to a hidden temp dir, then atomically
+    // RENAME to v=N — rename-if-absent is the filesystem's atomic
+    // primitive, so two concurrent writers can't interleave part-files
+    // into one snapshot (a plain ErrorIfExists write would be
+    // check-then-act). On collision, retry with the next version.
+    val tmp = s"$outDir/_lineage/.tmp-${java.util.UUID.randomUUID()}"
+    lineage.write.mode(SaveMode.ErrorIfExists).parquet(tmp)
+    val lineagePath = new org.apache.hadoop.fs.Path(s"$outDir/_lineage")
+    val fs = lineagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var v = snapshots(spark, outDir).lastOption.getOrElse(0) + 1
+    var attempts = 0
+    while (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$outDir/_lineage/v=$v"))) {
+      attempts += 1
+      require(attempts < 1000, s"could not publish a lineage snapshot under $outDir")
+      v = math.max(v + 1, snapshots(spark, outDir).lastOption.getOrElse(0) + 1)
+    }
     lineageAt(spark, outDir, v)
   }
 
@@ -98,7 +113,7 @@ object Ingest {
     else fs.listStatus(path).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.drop(2).toInt }
+      .collect { case n if n.startsWith("v=") => n.drop(2).toInt } // .tmp-* excluded
       .sorted
   }
 

@@ -85,10 +85,22 @@ object Knn {
     // per query instead of every candidate.
     val enc = org.apache.spark.sql.Encoders.row(joined.schema)
     val partial = joined.mapPartitions { it =>
+      // tie-break MUST use Spark's own string order (UTF-8 binary), not
+      // Java's UTF-16 compareTo — they disagree on supplementary-plane
+      // ids, and the final window ranks with Spark's order. Nulls sort
+      // first, matching the window's asc nulls-first.
+      def cmpId(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _)    => -1
+        case (_, null)    => 1
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+        case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+      }
       val ord: Ordering[Row] = (x: Row, y: Row) => {
         val c = java.lang.Double.compare(x.getDouble(2), y.getDouble(2))
-        if (c != 0) c
-        else x.get(1).asInstanceOf[Comparable[Any]].compareTo(y.get(1))
+        if (c != 0) c else cmpId(x.get(1), y.get(1))
       }
       val heaps = scala.collection.mutable.Map
         .empty[Long, scala.collection.mutable.PriorityQueue[Row]]

@@ -47,6 +47,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expectedExact.subsetOf(got), "exact dups have jaccard 1.0")
   }
 
+  test("DF cap: mass-duplicated boilerplate stays discoverable via anchor-star candidates") {
+    val s = spark
+    import s.implicits._
+    // 30 near-identical boilerplate docs (every shingle hot under cap=5)
+    // + 2 unrelated docs
+    val boiler = (0 until 30).map(i => (i.toLong, "the same boilerplate text repeated again and again"))
+    val other = Seq((100L, "completely different words here entirely"),
+      (101L, "another unrelated document body of text"))
+    val tiny = (boiler ++ other).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(tiny, 9000, maxShingleDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the anchor (doc 0) pairs with every other boilerplate doc: the
+    // cluster is one connected component despite all shingles being hot
+    assert((1 until 30).forall(i => pairs.contains((0L, i.toLong))), pairs.toSeq.sorted.take(10))
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L))
+    // and with the cap above all DFs the output equals the uncapped join
+    val capped = Dedup.ngramJaccard(tiny, 9000, maxShingleDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == (0 until 30).combinations(2).map(c => (c(0).toLong, c(1).toLong)).toSet)
+  }
+
   test("minhash LSH (verified) is a subset of true jaccard pairs and recovers injected dups") {
     val truth = pairs(Dedup.ngramJaccard(corpus, 6000))
     val lsh = pairs(Dedup.minhashLsh(corpus, 6000))
