@@ -42,6 +42,42 @@ object GeomedeaSpark {
       .drop("env")
   }
 
+  /** Distributed scan over a DIRECTORY of .geomedea files — the 100 TB
+    * interop shape (a data lake of reference-format files): Spark's
+    * binaryFile source plans one split per file, each executor decodes
+    * its files with the same driver-free codec, and an optional bbox
+    * prunes per file via the embedded R-tree BEFORE decoding features
+    * (the reference's indexed read, S5/S7, running fan-out-parallel).
+    */
+  def readDir(spark: SparkSession, dir: String,
+              bbox: Option[graft.geom.Envelope] = None): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.geomedea")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (path, bytes) =>
+          val feats = bbox match {
+            case Some(q) => GeomedeaFile.selectBbox(bytes, q)
+            case None    => GeomedeaFile.selectAll(bytes)
+          }
+          feats.iterator.zipWithIndex.map { case (f, i) =>
+            (path, i.toLong, graft.geom.Wkb.write(f.geom),
+              f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) })
+          }
+        }
+      }
+      .toDF("source_file", "feature_id", "wkb", "props")
+    rows
+      .withColumn("env", stEnvelope(col("wkb")))
+      .select(col("*"),
+        col("env.min_lng").as("min_lng"), col("env.min_lat").as("min_lat"),
+        col("env.max_lng").as("max_lng"), col("env.max_lat").as("max_lat"))
+      .drop("env")
+  }
+
   /** Geometry frame (wkb + props) -> .geomedea file bytes on disk. The
     * writer applies the format's own Hilbert-desc layout; input order is
     * irrelevant.

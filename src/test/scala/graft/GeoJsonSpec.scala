@@ -150,6 +150,26 @@ class GeoJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed .geomedea directory scan: parallel decode + per-file index pruning") {
+    import graft.sources.GeomedeaSpark
+    val dir = java.nio.file.Files.createTempDirectory("gmdir").toString
+    val df = GeoJsonIngest.fromFeatureCollection(spark, s"$Fixtures/places.json")
+    // shard the fixture into 3 files
+    for (i <- 0 until 3)
+      GeomedeaSpark.write(df.where(col("feature_id") % 3 === i), s"$dir/part-$i.geomedea",
+        compressed = i % 2 == 0, pageSizeGoal = 8 * 1024)
+    val all = GeomedeaSpark.readDir(spark, dir)
+    assert(all.count() == 1249)
+    assert(all.select("source_file").distinct().count() == 3)
+    val q = Envelope.fromDegrees(90, 40, 100, 50)
+    // pushed bbox (index-pruned per file) equals post-hoc filtering
+    val pushed = GeomedeaSpark.readDir(spark, dir, bbox = Some(q)).count()
+    val post = all.where(
+      col("max_lng") >= q.minLng && col("max_lat") >= q.minLat &&
+        col("min_lng") <= q.maxLng && col("min_lat") <= q.maxLat).count()
+    assert(pushed == 3 && post == 3)
+  }
+
   test("export job emits parseable features preserving property order") {
     val df = GeoJsonIngest.fromFeatureCollection(spark, s"$Fixtures/countries.geojson").limit(5)
     val out = GeoJsonIngest.toGeoJsonFeatures(df).collect().map(_.getString(0))
