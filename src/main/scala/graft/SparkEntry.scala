@@ -290,6 +290,16 @@ object SparkEntry {
         .toDF()
         .select(col("doc_id"), col("media_type"), col("n_bytes").cast("long").as("n_bytes"))
         .orderBy("doc_id")
+    }),
+
+    // multimodal frame sampling (1->N flatMap): per-video sampled frame
+    // counts are pure arithmetic on payload size -> exact oracle
+    "q42_media_frames" -> ((s, dir) => {
+      Media.frameSample(Media.mediaTable(s, dir), everyN = 3)
+        .toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"), max("frame_idx").cast("long").as("last_frame"))
+        .orderBy("doc_id")
     })
   )
 
@@ -463,7 +473,15 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |  CAST(16 * (n_chars // 50 + 1) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q42_media_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, 16 * (n_chars // 50 + 1) AS n_bytes FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, (n_bytes + 255) // 256 AS n_chunks FROM v)
+        |SELECT doc_id, CAST((n_chunks + 2) // 3 AS BIGINT) AS n_frames,
+        |       CAST(((n_chunks + 2) // 3 - 1) * 3 AS BIGINT) AS last_frame
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 
   private val C = Dedup.OracleSqlCorpus

@@ -59,4 +59,55 @@ object Media {
       .as[MediaRow]
       .mapPartitions(_.map(decodeStub))
   }
+
+  /** Resize stage (1 -> 1 map shape): deterministic stride subsample of
+    * the payload to the target dimensions' byte budget — the STUB stands
+    * in for a real image resize; metadata carries the new dims, plumbing
+    * (typed map, constant memory per row) is the real thing.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val budget = math.max(1, targetW * targetH / 64)
+    media.select("doc_id", "media_type", "width", "height", "payload")
+      .as[MediaRow]
+      .map { row =>
+        // >>> STUB resize: replace with a real scaler <<<
+        val out =
+          if (row.payload.length <= budget) row.payload
+          else {
+            val stride = row.payload.length.toDouble / budget
+            Array.tabulate(budget)(i => row.payload((i * stride).toInt))
+          }
+        MediaRow(row.doc_id, row.media_type, targetW, targetH, out)
+      }
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** Frame sampling for video rows (1 -> N flatMap shape): the payload is
+    * treated as fixed-size frame chunks (STUB for a real demuxer) and
+    * every `everyN`-th chunk is emitted with a content checksum. Frame
+    * count per doc is arithmetic on the payload size, so the stage is
+    * oracle-checkable end-to-end (q42).
+    */
+  def frameSample(media: DataFrame, everyN: Int, frameBytes: Int = 256): Dataset[Frame] = {
+    require(everyN >= 1 && frameBytes >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("media_type") === "video")
+      .select("doc_id", "media_type", "width", "height", "payload")
+      .as[MediaRow]
+      .flatMap { row =>
+        val nFrames = (row.payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by everyN).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(row.payload.length, from + frameBytes)
+          var h = 0xcbf29ce484222325L
+          var i = from
+          while (i < until) { h ^= (row.payload(i) & 0xFF); h *= 0x100000001b3L; i += 1 }
+          Frame(row.doc_id, f, until - from, h)
+        }
+      }
+  }
 }

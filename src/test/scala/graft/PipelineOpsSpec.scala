@@ -164,6 +164,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(x != y)
   }
 
+  test("media resize + frame sampling: deterministic shapes, budgets, oracle arithmetic") {
+    val media = graft.jobs.Media.mediaTable(spark, Sf)
+    // resize: byte budget respected, dims rewritten, deterministic
+    val r1 = graft.jobs.Media.resize(media, 64, 64).collect().sortBy(_.doc_id)
+    val r2 = graft.jobs.Media.resize(media, 64, 64).collect().sortBy(_.doc_id)
+    assert(r1.length == media.count())
+    assert(r1.forall(m => m.width == 64 && m.height == 64 && m.payload.length <= 64 * 64 / 64))
+    assert(r1.zip(r2).forall { case (a, b) => a.payload.sameElements(b.payload) })
+    // frame sampling: only videos, stride-3 indices, count arithmetic
+    val frames = graft.jobs.Media.frameSample(media, everyN = 3).collect()
+    assert(frames.nonEmpty && frames.forall(_.frame_idx % 3 == 0))
+    val videos = media.where(col("media_type") === "video")
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").length).toMap
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.keySet == videos.keySet)
+    byDoc.foreach { case (id, fs) =>
+      val chunks = (videos(id) + 255) / 256
+      assert(fs.length == (chunks + 2) / 3, s"doc $id")
+    }
+    // repartitioning does not change the frame set (checksums included)
+    val frames2 = graft.jobs.Media.frameSample(
+      media.repartition(7, col("doc_id")), everyN = 3).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx, f.n_bytes, f.checksum)).toSet ==
+      frames2.map(f => (f.doc_id, f.frame_idx, f.n_bytes, f.checksum)).toSet)
+  }
+
   test("media pipeline: stub decode is deterministic with correct schema and batching") {
     val media = Media.mediaTable(spark, Sf)
     assert(media.schema("payload").dataType.typeName == "binary")
