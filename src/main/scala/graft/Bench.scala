@@ -121,7 +121,18 @@ object Bench {
     val tableDir =
       java.nio.file.Files.createTempDirectory("graft_bench_src").toString + "/docs"
     benchDocs(spark, nDocs, tableSlices).write.option("compression", "zstd").parquet(tableDir)
+    if (scalingMode) {
+      // one split per file regardless of size, or coalesce(4N) can't
+      // reach 4N when Spark packs small files into shared splits and the
+      // reported efficiency would compare two identical parallelism levels
+      spark.conf.set("spark.sql.files.openCostInBytes", (1L << 30).toString)
+    }
     val docsTable = spark.read.parquet(tableDir)
+    if (scalingMode) {
+      val planned = docsTable.rdd.getNumPartitions
+      require(planned >= tableSlices,
+        s"scaling table planned $planned splits < $tableSlices; adjust split conf")
+    }
     val rects = InterleavedDocs.nationRects(spark, sfDir)
 
     def joinTiles(src: DataFrame): Long =

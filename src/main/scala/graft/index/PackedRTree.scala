@@ -149,20 +149,13 @@ final class PackedRTree(val numLeaves: Long, val bytes: Array[Byte]) extends Ser
   def payloadHi(idx: Long): Long = i64((idx * NodeBytes).toInt + 16)
   def payloadLo(idx: Long): Int = i32((idx * NodeBytes).toInt + 24)
 
-  /** BFS bbox query; emits leaf payloadHi values in tree (Hilbert) order
-    * (`reader.rs:25-49`). Shares the traversal with
-    * [[queryBboxLocations]].
+  /** Shared BFS: node indices of hit LEAVES in tree (Hilbert) order —
+    * one primitive-array traversal backing both query shapes, no per-hit
+    * tuple boxing on the per-row probe path.
     */
-  def queryBbox(q: Envelope): Array[Long] =
-    queryBboxLocations(q).map(_._1).toArray
-
-  /** Like [[queryBbox]] but emits both payload halves — for the file
-    * reader these are `FeatureLocation = (page_starting_offset,
-    * feature_offset)` pairs (`format.rs:4-10`), in tree order.
-    */
-  def queryBboxLocations(q: Envelope): Vector[(Long, Int)] = {
-    if (numLeaves == 0) return Vector.empty
-    val results = Vector.newBuilder[(Long, Int)]
+  private def leafHits(q: Envelope): Array[Long] = {
+    if (numLeaves == 0) return Array.emptyLongArray
+    val results = new mutable.ArrayBuilder.ofLong
     val queue = mutable.Queue[(Long, Long)]((0L, 1L))
     val leafStart = nodeRangesByLevel(numLeaves).last._1
     while (queue.nonEmpty) {
@@ -170,7 +163,7 @@ final class PackedRTree(val numLeaves: Long, val bytes: Array[Byte]) extends Ser
       var idx = s
       while (idx < e) {
         if (nodeEnvelope(idx).intersects(q)) {
-          if (idx >= leafStart) results += ((payloadHi(idx), payloadLo(idx)))
+          if (idx >= leafStart) results += idx
           else childrenRange(numLeaves, idx).foreach(queue.enqueue(_))
         }
         idx += 1
@@ -178,6 +171,24 @@ final class PackedRTree(val numLeaves: Long, val bytes: Array[Byte]) extends Ser
     }
     results.result()
   }
+
+  /** BFS bbox query; emits leaf payloadHi values in tree (Hilbert) order
+    * (`reader.rs:25-49`).
+    */
+  def queryBbox(q: Envelope): Array[Long] = {
+    val idxs = leafHits(q)
+    val out = new Array[Long](idxs.length)
+    var i = 0
+    while (i < idxs.length) { out(i) = payloadHi(idxs(i)); i += 1 }
+    out
+  }
+
+  /** Like [[queryBbox]] but emits both payload halves — for the file
+    * reader these are `FeatureLocation = (page_starting_offset,
+    * feature_offset)` pairs (`format.rs:4-10`), in tree order.
+    */
+  def queryBboxLocations(q: Envelope): Vector[(Long, Int)] =
+    leafHits(q).toVector.map(i => (payloadHi(i), payloadLo(i)))
 
   /** Leaf payloads whose envelope intersects (minLng..maxLat); Catalyst
     * StaticInvoke-friendly signature.

@@ -59,16 +59,23 @@ object Dedup {
     * shared by more docs than this produces df^2/2 all-pairs candidates —
     * the classic quadratic blowup at 100 TB — so hot shingles switch from
     * ALL-PAIRS to ANCHOR-STAR generation: every doc sharing the hot
-    * shingle pairs with that shingle's minimum doc_id (O(df) pairs).
+    * shingle pairs with the minimum doc_id among the shingle's docs *in
+    * the doc's own shingle-set-size bucket* (O(df) pairs per shingle).
     * Jaccard itself is always computed on the full shingle sets.
     *
-    * Semantics with the cap active: the pair list is exact for pairs
-    * sharing at least one rare shingle; docs whose EVERY shared shingle
-    * is hot (mass-duplicated boilerplate — the case a dedup pipeline
-    * exists for) are still discovered through their anchor's verified
-    * star, which keeps the duplicate CLUSTER connected for the
-    * connected-component canonicalization pass, without materializing
-    * its quadratic pair set.
+    * Why size buckets: Jaccard >= t forces |A|/|B| >= t, so near-dups
+    * have near-equal shingle counts — anchoring within log2-size buckets
+    * keeps a mass-duplicated boilerplate cluster connected through its
+    * own members (a huge diverse doc that merely CONTAINS the boilerplate
+    * lands in a different bucket and cannot become the cluster's anchor
+    * and fail verification on its behalf).
+    *
+    * Semantics with the cap active: exact pair list for pairs sharing at
+    * least one rare shingle; hot-shingle-only duplicates are recovered as
+    * a verified anchor star per size bucket — connected for the
+    * connected-component canonicalization pass without the quadratic pair
+    * set. Corpora where even this heuristic matters at scale should run
+    * [[minhashLsh]], whose per-doc signatures are df-independent.
     */
   val DefaultMaxShingleDf = 10000
 
@@ -99,21 +106,31 @@ object Dedup {
     */
   def ngramJaccard(corpus: DataFrame, thresholdX10000: Long,
                    maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // size bucket: log2 of the doc's distinct-shingle count (Jaccard>=t
+    // bounds the size ratio, so near-dups sit in the same/adjacent bucket)
     val sh = corpus
+      .withColumn("szb", floor(log2(size(shingles(col("text"))) + 1)).cast("int"))
       .withColumn("sh", explode(shingles(col("text"))))
-      .select(col("doc_id"), col("sh"))
-    // hot shingles are few by definition — broadcastable with their anchor
-    val hot = sh.groupBy("sh")
+      .select(col("doc_id"), col("szb"), col("sh"))
+    // hot (shingle, bucket) anchors are few by definition: compute ONCE,
+    // collect the tiny result, and reuse it for both joins (two broadcast
+    // subplans of the same aggregate would each re-run the full explode)
+    val hotLocal = sh.groupBy("sh", "szb")
       .agg(count(lit(1)).as("df"), min("doc_id").as("anchor"))
       .where(col("df") > maxShingleDf)
-      .select("sh", "anchor")
-    val capped = sh.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti")
+      .select("sh", "szb", "anchor")
+      .as[(String, Int, Long)].collect().toSeq
+    val hot = hotLocal.toDF("sh", "szb", "anchor")
+    val capped = sh.join(broadcast(hot.select("sh", "szb").distinct()), Seq("sh", "szb"), "left_anti")
     val a = capped.as("a"); val b = capped.as("b")
     val rarePairs = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    // anchor-star pairs for hot shingles: O(df) rows, keeps mass-dup
-    // clusters connected (anchor = min doc_id, so id_a < id_b holds)
-    val anchorPairs = sh.join(broadcast(hot), Seq("sh"))
+    // anchor-star pairs per (hot shingle, size bucket): O(df) rows, keeps
+    // the mass-dup cluster connected through one of ITS OWN members
+    // (anchor = bucket min doc_id, so id_a < id_b holds)
+    val anchorPairs = sh.join(broadcast(hot), Seq("sh", "szb"))
       .where(col("doc_id") =!= col("anchor"))
       .select(col("anchor").as("id_a"), col("doc_id").as("id_b"))
     val candidates = rarePairs.unionByName(anchorPairs).distinct()

@@ -85,23 +85,34 @@ object Ingest {
         min("min_lng").as("min_lng"), min("min_lat").as("min_lat"),
         max("max_lng").as("max_lng"), max("max_lat").as("max_lat"),
         expr("bit_xor(xxhash64(doc_id))").as("checksum"))
-    // snapshot publish: write to a hidden temp dir, then atomically
-    // RENAME to v=N — rename-if-absent is the filesystem's atomic
-    // primitive, so two concurrent writers can't interleave part-files
-    // into one snapshot (a plain ErrorIfExists write would be
-    // check-then-act). On collision, retry with the next version.
+    // snapshot publish: write to a hidden temp dir, CLAIM a version with
+    // create-no-overwrite on a lock file (atomic on HDFS's namenode and
+    // on object stores with conditional put; Hadoop's rename is NOT a
+    // safe claim — local/HDFS rename onto an existing dir silently moves
+    // the source INSIDE it and reports success), then rename the tmp dir
+    // to the claimed v=N, which no other writer can hold.
     val tmp = s"$outDir/_lineage/.tmp-${java.util.UUID.randomUUID()}"
     lineage.write.mode(SaveMode.ErrorIfExists).parquet(tmp)
     val lineagePath = new org.apache.hadoop.fs.Path(s"$outDir/_lineage")
     val fs = lineagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var v = snapshots(spark, outDir).lastOption.getOrElse(0) + 1
+    var claimed = false
     var attempts = 0
-    while (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$outDir/_lineage/v=$v"))) {
+    while (!claimed) {
       attempts += 1
-      require(attempts < 1000, s"could not publish a lineage snapshot under $outDir")
-      v = math.max(v + 1, snapshots(spark, outDir).lastOption.getOrElse(0) + 1)
+      require(attempts < 1000, s"could not claim a lineage snapshot version under $outDir")
+      try {
+        fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_lineage/.lock-v=$v"),
+          /* overwrite = */ false).close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException => // lost the race; next version
+          v = math.max(v + 1, snapshots(spark, outDir).lastOption.getOrElse(0) + 1)
+      }
     }
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$outDir/_lineage/v=$v")),
+      s"failed to publish claimed snapshot v=$v under $outDir")
     lineageAt(spark, outDir, v)
   }
 

@@ -68,6 +68,8 @@ object Media {
   def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
+    require(targetW > 0 && targetH > 0 && targetW.toLong * targetH <= (1L << 30),
+      s"target dims ${targetW}x$targetH out of range (w*h must be <= 2^30)")
     val budget = math.max(1, targetW * targetH / 64)
     media.select("doc_id", "media_type", "width", "height", "payload")
       .as[MediaRow]

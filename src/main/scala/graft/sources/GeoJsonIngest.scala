@@ -76,7 +76,7 @@ object GeoJsonIngest {
     FeatRow(i, f.wkb, f.props.map { case (k, v) => toCell(k, v) },
       f.properties.map(_._1), f.properties.map(_._2))
 
-  private def withEnvelope(df: DataFrame): DataFrame =
+  private[sources] def withEnvelope(df: DataFrame): DataFrame =
     df.withColumn("env", stEnvelope(col("wkb")))
       .select(col("*"),
         col("env.min_lng").as("min_lng"), col("env.min_lat").as("min_lat"),

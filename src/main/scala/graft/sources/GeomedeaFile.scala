@@ -105,14 +105,33 @@ object GeomedeaFile {
   }
 
   /** Full scan (S4 twin): all features in layout (Hilbert desc) order. */
-  def selectAll(bytes: Array[Byte]): Vector[Feature] = {
+  def selectAll(bytes: Array[Byte]): Vector[Feature] =
+    selectAllLocated(bytes).map(_._2)
+
+  /** Full scan with each feature's `FeatureLocation = (page_starting_
+    * offset, in-page offset)` — the format's own STABLE per-feature
+    * identifier (`format.rs:4-10`), identical across full and bbox scans.
+    */
+  def selectAllLocated(bytes: Array[Byte]): Vector[((Long, Int), Feature)] = {
     val r = new R(bytes)
     val (compressed, pageCount, featureCount) = FeatureCodec.decodeHeader(r)
     r.take((PackedRTree.nodeCount(featureCount) * PackedRTree.NodeBytes).toInt) // skip index
-    (0L until pageCount).flatMap { _ =>
+    var pageStart = 0L
+    val out = Vector.newBuilder[((Long, Int), Feature)]
+    (0L until pageCount).foreach { _ =>
+      val before = r.pos
       val (body, count) = decodePage(r, compressed)
-      featuresOfPage(body, count)
-    }.toVector
+      val pr = new R(body)
+      var i = 0L
+      while (i < count) {
+        val featOff = pr.pos
+        val len = pr.u64().toInt
+        out += (((pageStart, featOff), FeatureCodec.decodeFeature(pr.take(len))))
+        i += 1
+      }
+      pageStart += (r.pos - before).toLong
+    }
+    out.result()
   }
 
   /** Read accounting for the indexed scan — the analog of the
@@ -120,14 +139,23 @@ object GeomedeaFile {
     * measurement "153 requests, 81,175,859 bytes"): each fetched page is
     * one coalesced "request".
     */
-  final case class BboxRead(features: Vector[Feature], pagesFetched: Long,
-                            totalPages: Long, bytesFetched: Long, totalBytes: Long)
+  final case class BboxRead(features: Vector[Feature], locations: Vector[(Long, Int)],
+                            pagesFetched: Long, totalPages: Long,
+                            bytesFetched: Long, totalBytes: Long)
 
   /** Indexed bbox scan (S5/X3 twin): R-tree query -> page-local reads.
     * Emits features in tree (layout) order, like `reader.rs:25-49`.
     */
   def selectBbox(bytes: Array[Byte], q: Envelope): Vector[Feature] =
     selectBboxCounted(bytes, q).features
+
+  /** Indexed bbox scan with stable FeatureLocations (same ids as
+    * [[selectAllLocated]] for the same features).
+    */
+  def selectBboxLocated(bytes: Array[Byte], q: Envelope): Vector[((Long, Int), Feature)] = {
+    val read = selectBboxCounted(bytes, q)
+    read.locations.zip(read.features)
+  }
 
   def selectBboxCounted(bytes: Array[Byte], q: Envelope): BboxRead = {
     val r = new R(bytes)
@@ -151,7 +179,7 @@ object GeomedeaFile {
       val len = pr.u64().toInt
       FeatureCodec.decodeFeature(pr.take(len))
     }
-    BboxRead(feats, byPage.size.toLong, pageCount, fetched,
+    BboxRead(feats, locs, byPage.size.toLong, pageCount, fetched,
       (bytes.length - pageSectionStart).toLong)
   }
 

@@ -23,6 +23,9 @@ object GeomedeaSpark {
 
   /** .geomedea file -> the engine's geometry frame (wkb + typed props +
     * envelope stat columns), in the file's Hilbert layout order.
+    * feature_id is the layout-order index (a full scan sees every
+    * feature, so the index is a stable id here; the pruned [[readDir]]
+    * uses the format's FeatureLocation instead).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -34,12 +37,7 @@ object GeomedeaSpark {
         f.props.map(_._1),
         f.props.map { case (_, v) => GeoJson.propValueString(v) })
     }
-    rows.toDF()
-      .withColumn("env", stEnvelope(col("wkb")))
-      .select(col("*"),
-        col("env.min_lng").as("min_lng"), col("env.min_lat").as("min_lat"),
-        col("env.max_lng").as("max_lng"), col("env.max_lat").as("max_lat"))
-      .drop("env")
+    GeoJsonIngest.withEnvelope(rows.toDF())
   }
 
   /** Distributed scan over a DIRECTORY of .geomedea files — the 100 TB
@@ -59,23 +57,25 @@ object GeomedeaSpark {
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (path, bytes) =>
+          // located variants: (page_offset, feature_offset) is the
+          // format's own per-feature id, IDENTICAL for the same feature
+          // whether the scan was pruned or full (a scan-relative index
+          // would not be)
           val feats = bbox match {
-            case Some(q) => GeomedeaFile.selectBbox(bytes, q)
-            case None    => GeomedeaFile.selectAll(bytes)
+            case Some(q) => GeomedeaFile.selectBboxLocated(bytes, q)
+            case None    => GeomedeaFile.selectAllLocated(bytes)
           }
-          feats.iterator.zipWithIndex.map { case (f, i) =>
-            (path, i.toLong, graft.geom.Wkb.write(f.geom),
-              f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) })
+          feats.iterator.map { case ((pageOff, featOff), f) =>
+            (path, pageOff, featOff, graft.geom.Wkb.write(f.geom),
+              f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) },
+              f.props.map(_._1),
+              f.props.map { case (_, v) => GeoJson.propValueString(v) })
           }
         }
       }
-      .toDF("source_file", "feature_id", "wkb", "props")
-    rows
-      .withColumn("env", stEnvelope(col("wkb")))
-      .select(col("*"),
-        col("env.min_lng").as("min_lng"), col("env.min_lat").as("min_lat"),
-        col("env.max_lng").as("max_lng"), col("env.max_lat").as("max_lat"))
-      .drop("env")
+      .toDF("source_file", "page_offset", "feature_offset", "wkb", "props",
+        "prop_keys", "prop_vals")
+    GeoJsonIngest.withEnvelope(rows)
   }
 
   /** Geometry frame (wkb + props) -> .geomedea file bytes on disk. The

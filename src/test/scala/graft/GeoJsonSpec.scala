@@ -163,11 +163,17 @@ class GeoJsonSpec extends AnyFunSuite {
     assert(all.select("source_file").distinct().count() == 3)
     val q = Envelope.fromDegrees(90, 40, 100, 50)
     // pushed bbox (index-pruned per file) equals post-hoc filtering
-    val pushed = GeomedeaSpark.readDir(spark, dir, bbox = Some(q)).count()
+    val pushedDf = GeomedeaSpark.readDir(spark, dir, bbox = Some(q))
     val post = all.where(
       col("max_lng") >= q.minLng && col("max_lat") >= q.minLat &&
-        col("min_lng") <= q.maxLng && col("min_lat") <= q.maxLat).count()
-    assert(pushed == 3 && post == 3)
+        col("min_lng") <= q.maxLng && col("min_lat") <= q.maxLat)
+    assert(pushedDf.count() == 3 && post.count() == 3)
+    // (source_file, page_offset, feature_offset) is a STABLE id: the
+    // pruned scan's ids are exactly the full scan's ids for those rows
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("source_file", "page_offset", "feature_offset")
+        .collect().map(_.toSeq).toSet
+    assert(ids(pushedDf) == ids(post))
   }
 
   test("export job emits parseable features preserving property order") {

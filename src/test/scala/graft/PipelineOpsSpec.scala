@@ -66,6 +66,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     val capped = Dedup.ngramJaccard(tiny, 9000, maxShingleDf = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == (0 until 30).combinations(2).map(c => (c(0).toLong, c(1).toLong)).toSet)
+
+    // adversarial case: the GLOBAL min doc containing the hot boilerplate
+    // is a long diverse doc (not a near-dup) — size-bucketed anchors must
+    // anchor the cluster among ITS OWN members, not the diverse doc
+    val diverse = (0L, (0 until 300).map(i => s"tok$i word$i item$i").mkString(" ") +
+      " the same boilerplate text repeated again and again")
+    val tiny2 = (Seq(diverse) ++ (1 until 31).map(i =>
+      (i.toLong, "the same boilerplate text repeated again and again"))).toDF("doc_id", "text")
+    val pairs2 = Dedup.ngramJaccard(tiny2, 9000, maxShingleDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 0 never passes the 0.9 threshold; docs 1..30 connect via their
+    // own bucket's anchor (doc 1)
+    assert((2 until 31).forall(i => pairs2.contains((1L, i.toLong))),
+      pairs2.toSeq.sorted.take(10))
+    assert(!pairs2.exists(p => p._1 == 0L || p._2 == 0L))
   }
 
   test("minhash LSH (verified) is a subset of true jaccard pairs and recovers injected dups") {
