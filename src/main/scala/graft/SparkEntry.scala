@@ -317,6 +317,19 @@ object SparkEntry {
          |WHERE lng BETWEEN -1183000000 AND -1170000000 AND lat BETWEEN 335000000 AND 345000000
          |ORDER BY doc_id""".stripMargin,
 
+    // the Hilbert curve itself, re-implemented INDEPENDENTLY in DuckDB SQL
+    // (pure bit ops — validated against the 143165576/2720145952 goldens),
+    // oracles the layout key end-to-end
+    "q03_hilbert_layout" ->
+      s"""WITH $P,
+         |ext AS (SELECT min(lng) AS mnx, min(lat) AS mny, max(lng) AS mxx, max(lat) AS mxy FROM pts),
+         |xy AS (SELECT doc_id,
+         |  CAST(CAST(lng - mnx AS BIGINT) * 65535 // (mxx - mnx) AS BIGINT) AS x,
+         |  CAST(CAST(lat - mny AS BIGINT) * 65535 // (mxy - mny) AS BIGINT) AS y
+         |  FROM pts, ext),
+         |$HilbertSql
+         |SELECT doc_id, hilbert FROM hout ORDER BY hilbert DESC, doc_id LIMIT 100""".stripMargin,
+
     "q04_join_cells" ->
       s"""WITH $P, $R SELECT r.poly_id, p.doc_id FROM pts p JOIN rects r
          |ON p.lng BETWEEN r.p_min_lng AND r.p_max_lng AND p.lat BETWEEN r.p_min_lat AND r.p_max_lat
@@ -483,6 +496,44 @@ object SparkEntry {
         |       CAST(((n_chunks + 2) // 3 - 1) * 3 AS BIGINT) AS last_frame
         |FROM f ORDER BY doc_id""".stripMargin
   )
+
+  /** The branch-free 16-bit Hilbert index (curve/Hilbert.scala, the
+    * public-domain rawrunprotected algorithm) translated to DuckDB SQL
+    * CTE stages over (doc_id, x, y) — an independent implementation used
+    * to oracle the layout key. Validated against the same goldens as the
+    * Scala code (143165576 / 2720145952).
+    */
+  private val HilbertSql: String =
+    """s1 AS (SELECT *, xor(x, y) AS a, xor(65535, xor(x, y)) AS b,
+      |  xor(65535, x | y) AS c, x & xor(y, 65535) AS d FROM xy),
+      |s2 AS (SELECT *, a | (b >> 1) AS a2, xor(a >> 1, a) AS b2,
+      |  xor(xor(c >> 1, b & (d >> 1)), c) AS c2,
+      |  xor(xor(a & (c >> 1), d >> 1), d) AS d2 FROM s1),
+      |s3 AS (SELECT *,
+      |  xor(a2 & (a2 >> 2), b2 & (b2 >> 2)) AS a3,
+      |  xor(a2 & (b2 >> 2), b2 & (xor(a2, b2) >> 2)) AS b3,
+      |  xor(c2, xor(a2 & (c2 >> 2), b2 & (d2 >> 2))) AS c3,
+      |  xor(d2, xor(b2 & (c2 >> 2), xor(a2, b2) & (d2 >> 2))) AS d3 FROM s2),
+      |s4 AS (SELECT *,
+      |  xor(a3 & (a3 >> 4), b3 & (b3 >> 4)) AS a4,
+      |  xor(a3 & (b3 >> 4), b3 & (xor(a3, b3) >> 4)) AS b4,
+      |  xor(c3, xor(a3 & (c3 >> 4), b3 & (d3 >> 4))) AS c4,
+      |  xor(d3, xor(b3 & (c3 >> 4), xor(a3, b3) & (d3 >> 4))) AS d4 FROM s3),
+      |s5 AS (SELECT *,
+      |  xor(c4, xor(a4 & (c4 >> 8), b4 & (d4 >> 8))) AS c5,
+      |  xor(d4, xor(b4 & (c4 >> 8), xor(a4, b4) & (d4 >> 8))) AS d5 FROM s4),
+      |s6 AS (SELECT *, xor(c5, c5 >> 1) AS aa, xor(d5, d5 >> 1) AS bb FROM s5),
+      |s7 AS (SELECT *, xor(x, y) AS i0,
+      |  bb | xor(65535, (xor(x, y) | aa)) AS i1 FROM s6),
+      |e0 AS (SELECT *, (i0 | (i0 << 8)) & 16711935 AS i0a FROM s7),
+      |e1 AS (SELECT *, (i0a | (i0a << 4)) & 252645135 AS i0b FROM e0),
+      |e2 AS (SELECT *, (i0b | (i0b << 2)) & 858993459 AS i0c FROM e1),
+      |e3 AS (SELECT *, (i0c | (i0c << 1)) & 1431655765 AS i0d FROM e2),
+      |f0 AS (SELECT *, (i1 | (i1 << 8)) & 16711935 AS i1a FROM e3),
+      |f1 AS (SELECT *, (i1a | (i1a << 4)) & 252645135 AS i1b FROM f0),
+      |f2 AS (SELECT *, (i1b | (i1b << 2)) & 858993459 AS i1c FROM f1),
+      |f3 AS (SELECT *, (i1c | (i1c << 1)) & 1431655765 AS i1d FROM f2),
+      |hout AS (SELECT *, ((i1d << 1) | i0d) AS hilbert FROM f3)""".stripMargin
 
   private val C = Dedup.OracleSqlCorpus
 
