@@ -183,11 +183,12 @@ object Bench {
 
     // Headline: read interleaved table -> parse geom span -> cell join ->
     // PIP refine -> tile assign -> aggregate. One untimed warmup (C2-
-    // compiles the generated code), then median of 3.
+    // compiles the generated code), then min of 3 (additive-stall
+    // estimator, BASELINE.md noise note).
     def headline(): (Double, Long) = time(joinTiles(docsTable))
     headline()
     val runs = Seq(headline(), headline(), headline())
-    val tJoinTiles = runs.map(_._1).sorted.apply(1)
+    val tJoinTiles = runs.map(_._1).min
     val joined = runs.head._2
 
     // fast mode: headline only
@@ -206,25 +207,28 @@ object Bench {
     geo.count() // warm
 
     // single-run numbers vary 5-7x in this sandbox (measured: the same
-    // knn 3.4 s vs 22.7 s minutes apart) — warm once, report median of 3
-    def med3(f: => Unit): Double = {
-      f
-      Seq(time(f)._1, time(f)._1, time(f)._1).sorted.apply(1)
+    // knn 3.4 s vs 22.7 s minutes apart) and the stalls are ADDITIVE
+    // (BASELINE.md noise note) — so the per-query MINIMUM of 3 warm runs
+    // is the clean-window estimator of record; the median and the raw run
+    // arrays are reported alongside so the spread is auditable.
+    def runs3(f: => Unit): Array[Double] = {
+      f // warm (C2-compile the generated code)
+      Array(time(f)._1, time(f)._1, time(f)._1)
     }
 
-    val tSalted = med3 {
+    val rSalted = runs3 {
       SpatialJoin.saltedCellJoin(geo, rects).agg(count(lit(1))).head(); ()
     }
 
-    val tRange = med3 {
+    val rRange = runs3 {
       SpatialJoin.hilbertRangeJoin(geo, rects).agg(count(lit(1))).head(); ()
     }
 
-    val tKnn = med3 {
+    val rKnn = runs3 {
       Knn.knn(geo, InterleavedDocs.nationQueryPoints(spark, sfDir), k = 3).agg(count(lit(1))).head(); ()
     }
 
-    val tBbox = med3 {
+    val rBbox = runs3 {
       SpatialJoin.bboxFilter(geo, Envelope(-1183000000, 335000000, -1170000000, 345000000))
         .agg(count(lit(1))).head(); ()
     }
@@ -232,13 +236,19 @@ object Bench {
     // ingest: read the interleaved table -> parse -> extent -> hilbert ->
     // descending range layout -> zstd write + lineage snapshot. Real
     // ingest reads an existing table, so the scan is part of the cost.
-    val outDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
-    val (tIngest, _) = time {
-      Ingest.write(InterleavedDocs.withGeometry(docsTable), outDir, numPartitions = cpus)
+    // 3 runs to fresh dirs (round 2 timed it ONCE and a single slow window
+    // became the official record); the last dir feeds the pruned scan.
+    var outDir = ""
+    val rIngest = Array.fill(3)(0.0)
+    for (i <- 0 until 3) {
+      outDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
+      rIngest(i) = time {
+        Ingest.write(InterleavedDocs.withGeometry(docsTable), outDir, numPartitions = cpus)
+      }._1
     }
 
     // pruned read-back of the clustered layout (the select_bbox read path)
-    val tPruned = med3 {
+    val rPruned = runs3 {
       val written = spark.read.parquet(s"$outDir/docs")
       written.where(
         col("max_lng") >= -1183000000 && col("max_lat") >= 335000000 &&
@@ -246,15 +256,24 @@ object Bench {
         .agg(count(lit(1))).head(); ()
     }
 
-    val docsPerSec = nDocs / tJoinTiles
-    val total = tJoinTiles + tSalted + tRange + tKnn + tBbox + tIngest + tPruned
-    val qs = Seq(
-      "spatial_join_tiles" -> tJoinTiles, "spatial_join_salted" -> tSalted,
-      "spatial_join_range" -> tRange, "knn" -> tKnn, "bbox_filter" -> tBbox,
-      "ingest_hilbert_write" -> tIngest, "bbox_pruned_scan" -> tPruned)
-      .map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    val headlineRuns = runs.map(_._1).toArray
+    val named = Seq(
+      "spatial_join_tiles" -> headlineRuns, "spatial_join_salted" -> rSalted,
+      "spatial_join_range" -> rRange, "knn" -> rKnn, "bbox_filter" -> rBbox,
+      "ingest_hilbert_write" -> rIngest, "bbox_pruned_scan" -> rPruned)
+    def fmtMap(sel: Array[Double] => Double) =
+      named.map { case (k, v) => s""""$k":${"%.3f".format(sel(v))}""" }.mkString("{", ",", "}")
+    val qs = fmtMap(_.min)
+    val qsMed = fmtMap(_.sorted.apply(1))
+    val runArrays = named
+      .map { case (k, v) => s""""$k":[${v.map("%.3f".format(_)).mkString(",")}]""" }
+      .mkString("{", ",", "}")
+    val tJoinMin = headlineRuns.min
+    val docsPerSec = nDocs / tJoinMin
+    val total = named.map(_._2.min).sum
+    val totalMed = named.map(_._2.sorted.apply(1)).sum
     spark.stop()
     emit(
-      s"""{"metric":"spatial-join+tile throughput","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":${"%.1f".format(docsPerSec)},"join_rows":$joined}""")
+      s"""{"metric":"spatial-join+tile throughput","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"runs":$runArrays,"total_median":${"%.3f".format(totalMed)},"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":${"%.1f".format(docsPerSec)},"join_rows":$joined}""")
   }
 }

@@ -75,6 +75,18 @@ object Wkt {
       // whenever the double sits just below the true decimal (same
       // documented boundary as the self-produced-WKB decode path,
       // ScaledCoord.roundScaled).
+      //
+      // DOCUMENTED PARITY DEVIATION vs the reference (SURVEY.md F6): the
+      // reference's wkt! path quantizes via LngLat::degrees, i.e.
+      // `(deg * 1e7) as i32` — TRUNCATION of the rounded double product
+      // (geometry/mod.rs:295-297) — so reference-authored text like
+      // POINT(1.00000005 0) yields 10000000 there and 10000001 here (and
+      // even POINT(839.1 0) yields 8390999999 there, the product double
+      // landing just under the integer). Truncation and the format->parse
+      // fixpoint are incompatible (no decimal digit count fixes a product
+      // that ROUNDS below the integer), and the fixpoint is what our own
+      // round-trip guarantees rest on, so we keep rounding and accept a
+      // <=1 scaled-unit (1e-7 deg) deviation on externally-authored WKT.
       Wkb.pack(ScaledCoord.roundScaled(x), ScaledCoord.roundScaled(y))
     }
 

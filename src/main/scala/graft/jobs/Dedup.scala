@@ -68,14 +68,19 @@ object Dedup {
     * keeps a mass-duplicated boilerplate cluster connected through its
     * own members (a huge diverse doc that merely CONTAINS the boilerplate
     * lands in a different bucket and cannot become the cluster's anchor
-    * and fail verification on its behalf).
+    * and fail verification on its behalf). Because a qualifying pair CAN
+    * straddle one log2 boundary (the ratio bound, not the bucket, is what
+    * Jaccard guarantees), each bucket's anchor also stars into the next
+    * bucket up, bridging adjacent buckets even when every shared shingle
+    * is hot in both.
     *
     * Semantics with the cap active: exact pair list for pairs sharing at
     * least one rare shingle; hot-shingle-only duplicates are recovered as
-    * a verified anchor star per size bucket — connected for the
-    * connected-component canonicalization pass without the quadratic pair
-    * set. Corpora where even this heuristic matters at scale should run
-    * [[minhashLsh]], whose per-doc signatures are df-independent.
+    * a verified anchor star per size bucket (+ the adjacent-bucket
+    * bridge) — connected for the connected-component canonicalization
+    * pass without the quadratic pair set. Corpora where even this
+    * heuristic matters at scale should run [[minhashLsh]], whose per-doc
+    * signatures are df-independent.
     */
   val DefaultMaxShingleDf = 10000
 
@@ -106,33 +111,38 @@ object Dedup {
     */
   def ngramJaccard(corpus: DataFrame, thresholdX10000: Long,
                    maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     // size bucket: log2 of the doc's distinct-shingle count (Jaccard>=t
     // bounds the size ratio, so near-dups sit in the same/adjacent bucket)
     val sh = corpus
       .withColumn("szb", floor(log2(size(shingles(col("text"))) + 1)).cast("int"))
       .withColumn("sh", explode(shingles(col("text"))))
       .select(col("doc_id"), col("szb"), col("sh"))
-    // hot (shingle, bucket) anchors are few by definition: compute ONCE,
-    // collect the tiny result, and reuse it for both joins (two broadcast
-    // subplans of the same aggregate would each re-run the full explode)
-    val hotLocal = sh.groupBy("sh", "szb")
+    // hot (shingle, bucket) anchors stay DISTRIBUTED (|shingles|/maxDf is
+    // data-dependent and can be 10^7+ at corpus scale — never a driver
+    // collect); persist so the two broadcast joins below don't each
+    // re-run the full explode+aggregate, and let the join layer ship it
+    val hot = sh.groupBy("sh", "szb")
       .agg(count(lit(1)).as("df"), min("doc_id").as("anchor"))
       .where(col("df") > maxShingleDf)
       .select("sh", "szb", "anchor")
-      .as[(String, Int, Long)].collect().toSeq
-    val hot = hotLocal.toDF("sh", "szb", "anchor")
-    val capped = sh.join(broadcast(hot.select("sh", "szb").distinct()), Seq("sh", "szb"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = sh.join(broadcast(hot.select("sh", "szb")), Seq("sh", "szb"), "left_anti")
     val a = capped.as("a"); val b = capped.as("b")
     val rarePairs = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     // anchor-star pairs per (hot shingle, size bucket): O(df) rows, keeps
-    // the mass-dup cluster connected through one of ITS OWN members
-    // (anchor = bucket min doc_id, so id_a < id_b holds)
-    val anchorPairs = sh.join(broadcast(hot), Seq("sh", "szb"))
+    // the mass-dup cluster connected through one of ITS OWN members. Each
+    // hot (sh, szb) anchor ALSO reaches docs in the adjacent bucket szb+1
+    // (Jaccard >= t only bounds the size RATIO, so a genuine near-dup pair
+    // can straddle a log2 boundary; the +1-shifted anchor row bridges the
+    // two buckets even when the shared shingles are hot in both). least/
+    // greatest keeps the (id_a < id_b) pair orientation for cross-bucket
+    // anchors, whose doc_id need not exceed the other bucket's anchor.
+    val hotAdj = hot.unionByName(hot.withColumn("szb", col("szb") + 1))
+    val anchorPairs = sh.join(broadcast(hotAdj), Seq("sh", "szb"))
       .where(col("doc_id") =!= col("anchor"))
-      .select(col("anchor").as("id_a"), col("doc_id").as("id_b"))
+      .select(least(col("anchor"), col("doc_id")).as("id_a"),
+        greatest(col("anchor"), col("doc_id")).as("id_b"))
     val candidates = rarePairs.unionByName(anchorPairs).distinct()
     jaccardOnPairs(corpus, candidates, thresholdX10000)
   }

@@ -165,9 +165,12 @@ object GeoJson {
     */
   def propValue(j: J): Option[PValue] = j match {
     case JBool(b) => Some(PBool(b))
-    case JNum(d, true) if d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble =>
+    // strict upper bound: Long.MaxValue.toDouble rounds UP to exactly 2^63,
+    // so `d <= that` would route 2^63 into the Int64 arm and silently clamp
+    // it to Long.MaxValue — serde_json's u64 arm owns [2^63, 2^64)
+    case JNum(d, true) if d >= Long.MinValue.toDouble && d < 9.223372036854776e18 =>
       Some(PInt64(d.toLong))
-    case JNum(d, true) if d > Long.MaxValue.toDouble && d < 1.8446744073709552e19 =>
+    case JNum(d, true) if d >= 9.223372036854776e18 && d < 1.8446744073709552e19 =>
       Some(PUInt64(new java.math.BigDecimal(d).toBigInteger.longValue()))
     case JNum(d, _) => Some(PFloat64(d))
     case JStr(s)    => Some(PString(s))

@@ -54,8 +54,10 @@ object GeomedeaFile {
     var pageStart = 0L       // encoded offset of current page within page section
     var body = new W()       // uncompressed body of the current page
     var pageFeatures = 0L
+    var pagesClosed = 0 // VectorBuilder forbids result() before the final build
 
     def closePage(): Unit = {
+      pagesClosed += 1
       val decoded = body.result()
       val encoded = if (compressed) com.github.luben.zstd.Zstd.compress(decoded) else decoded
       val w = new W(12 + encoded.length)
@@ -75,7 +77,7 @@ object GeomedeaFile {
       leaves += ((bounds, loc._1, loc._2))
       if (body.size.toLong > pageSizeGoal) closePage()
     }
-    if (pageFeatures > 0 || pages.result().isEmpty) closePage()
+    if (pageFeatures > 0 || pagesClosed == 0) closePage()
 
     val pageBlocks = pages.result()
     val tree = PackedRTree.build(leaves.result())

@@ -1,0 +1,250 @@
+package graft.sources.v2
+
+import graft.geom.Envelope
+import graft.sources.{GeoJson, GeoJsonIngest, GeomedeaFile}
+import graft.sources.GeoJsonIngest.PropCell
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** `spark.read.format("geomedea")` — a DataSourceV2 over the reference's
+  * single-file container, making the native-format interop first-class:
+  * plain SQL / `spark.read` users get the same per-file packed-R-tree
+  * pruning as the reference's `select_bbox` (`reader.rs:313-346`), driven
+  * by ordinary Catalyst `WHERE` filters on the envelope stat columns
+  * instead of a side-channel parameter.
+  *
+  * Scale shape: one input partition per `.geomedea` file (the format is a
+  * single-node container; a data lake of them fans out per file, same as
+  * `GeomedeaSpark.readDir`). Pushed bbox filters prune twice:
+  *  1. at PLANNING, whole files whose R-tree ROOT bounds (= file extent,
+  *     read from the first 45 header bytes, never the whole file) miss
+  *     the query rect are never planned as partitions;
+  *  2. at READ, surviving files run the indexed page-pruned scan
+  *     ([[GeomedeaFile.selectBboxLocated]]) so only intersecting pages
+  *     decompress — the reference's partial-download behavior.
+  * Pruning is a strict SUPERSET of the predicate (closed-interval R-tree
+  * intersection), so every pushed filter is also returned as a residual
+  * for Spark to re-evaluate — correctness never depends on the index.
+  *
+  * Filter mapping (query rect q): `max_lng >= v` or `min_lng >= v` or
+  * `lng = v` tighten q.minLng (a row's max >= min, so both imply
+  * max_lng >= v — the intersection test's left bound); symmetrically for
+  * the other three bounds. And() recurses; anything else is ignored
+  * (left to Spark).
+  */
+class GeomedeaDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "geomedea"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GeomedeaTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "geomedea source needs exactly one load(path) — a .geomedea file or a directory of them"))
+    new GeomedeaTable(path)
+  }
+}
+
+object GeomedeaTable {
+  /** Output row: same surface as GeomedeaSpark.readDir + envelope stats.
+    * (page_offset, feature_offset) is the format's own stable
+    * FeatureLocation (`format.rs:4-10`), identical across pruned and full
+    * scans.
+    */
+  final case class GmRow(source_file: String, page_offset: Long, feature_offset: Int,
+                         wkb: Array[Byte], props: Seq[PropCell],
+                         prop_keys: Seq[String], prop_vals: Seq[String],
+                         min_lng: Int, min_lat: Int, max_lng: Int, max_lat: Int)
+
+  def rowEncoder: ExpressionEncoder[GmRow] = ExpressionEncoder[GmRow]()
+  val Schema: StructType = rowEncoder.schema
+
+  val World: Envelope = Envelope(Int.MinValue, Int.MinValue, Int.MaxValue, Int.MaxValue)
+
+  /** File extent without reading the file: header (17B) + R-tree root
+    * node bounds (nodes are root-first, `packed_r_tree/mod.rs:32-41`).
+    * None when the file is empty (featureCount 0 — no root exists).
+    */
+  def fileExtent(head: Array[Byte]): Option[Envelope] = {
+    val r = new graft.codec.FeatureCodec.R(head)
+    val (_, _, featureCount) = graft.codec.FeatureCodec.decodeHeader(r)
+    if (featureCount == 0) return None
+    val bb = java.nio.ByteBuffer.wrap(head, r.pos, 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Some(Envelope(bb.getInt, bb.getInt, bb.getInt, bb.getInt))
+  }
+
+  val HeadBytes: Int = graft.codec.FeatureCodec.HeaderBytes + graft.index.PackedRTree.NodeBytes
+}
+
+class GeomedeaTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"geomedea.`$path`"
+  override def schema(): StructType = GeomedeaTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GeomedeaScanBuilder(path)
+}
+
+class GeomedeaScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var qMinLng = Int.MinValue
+  private var qMinLat = Int.MinValue
+  private var qMaxLng = Int.MaxValue
+  private var qMaxLat = Int.MaxValue
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = GeomedeaTable.Schema
+
+  private def asInt(v: Any): Option[Int] = v match {
+    case n: java.lang.Number =>
+      val l = n.longValue()
+      Some(math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, l)).toInt)
+    case _ => None
+  }
+
+  /** Returns true when the filter tightened the query rect (superset
+    * semantics: the rect's closed-interval intersection admits every row
+    * the filter admits — see class doc for the max>=min argument).
+    */
+  private def absorb(f: Filter): Boolean = f match {
+    case And(l, r) =>
+      val a = absorb(l); val b = absorb(r); a || b
+    case GreaterThanOrEqual(c, v) => lower(c, v)
+    case GreaterThan(c, v)        => lower(c, v)
+    case LessThanOrEqual(c, v)    => upper(c, v)
+    case LessThan(c, v)           => upper(c, v)
+    case EqualTo(c, v)            => val a = lower(c, v); val b = upper(c, v); a || b
+    case _                        => false
+  }
+
+  private def lower(col: String, v: Any): Boolean = asInt(v) match {
+    case Some(i) => col match {
+      case "max_lng" | "min_lng" => qMinLng = math.max(qMinLng, i); true
+      case "max_lat" | "min_lat" => qMinLat = math.max(qMinLat, i); true
+      case _                     => false
+    }
+    case None => false
+  }
+
+  private def upper(col: String, v: Any): Boolean = asInt(v) match {
+    case Some(i) => col match {
+      case "min_lng" | "max_lng" => qMaxLng = math.min(qMaxLng, i); true
+      case "min_lat" | "max_lat" => qMaxLat = math.min(qMaxLat, i); true
+      case _                     => false
+    }
+    case None => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(absorb)
+    filters // all filters stay residual: the index prune is a superset
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = {
+    val bbox =
+      if (qMinLng == Int.MinValue && qMinLat == Int.MinValue &&
+        qMaxLng == Int.MaxValue && qMaxLat == Int.MaxValue) None
+      else Some(Envelope(qMinLng, qMinLat, math.max(qMinLng, qMaxLng), math.max(qMinLat, qMaxLat)))
+    new GeomedeaScan(path, bbox, pushed, required)
+  }
+}
+
+class GeomedeaScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
+                   required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GeomedeaScan path=$path bbox=${bbox.getOrElse("all")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** One partition per file; with a pushed bbox, files whose root bounds
+    * miss the rect are pruned HERE (45-byte header read per file, driver).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".geomedea"))
+      else Seq(st)
+    val kept = bbox match {
+      case None => files
+      case Some(q) =>
+        files.filter { s =>
+          val in = fs.open(s.getPath)
+          val head = new Array[Byte](math.min(GeomedeaTable.HeadBytes.toLong, s.getLen).toInt)
+          try in.readFully(0, head) finally in.close()
+          GeomedeaTable.fileExtent(head).exists(_.intersects(q))
+        }
+    }
+    kept.map(s => GeomedeaPartition(s.getPath.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeomedeaReaderFactory(bbox, required,
+      new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()))
+}
+
+final case class GeomedeaPartition(file: String) extends InputPartition
+
+class GeomedeaReaderFactory(bbox: Option[Envelope], required: StructType,
+                            conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GeomedeaPartition].file
+    new PartitionReader[InternalRow] {
+      private val serializer = GeomedeaTable.rowEncoder.createSerializer()
+      private val full = GeomedeaTable.Schema
+      private val proj = required.fields.map(f => (full.fieldIndex(f.name), f.dataType))
+
+      private val iter = {
+        val p = new Path(file)
+        val fs = p.getFileSystem(conf.value)
+        val len = fs.getFileStatus(p).getLen
+        require(len <= graft.sources.GeomedeaSpark.MaxFileBytes,
+          s"$file: $len bytes > ${graft.sources.GeomedeaSpark.MaxFileBytes}")
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, bytes) finally in.close()
+        val feats = bbox match {
+          case Some(q) => GeomedeaFile.selectBboxLocated(bytes, q) // page-pruned
+          case None    => GeomedeaFile.selectAllLocated(bytes)
+        }
+        feats.iterator.map { case ((pageOff, featOff), f) =>
+          GeomedeaTable.GmRow(file, pageOff, featOff, graft.geom.Wkb.write(f.geom),
+            f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) },
+            f.props.map(_._1),
+            f.props.map { case (_, v) => GeoJson.propValueString(v) },
+            f.geom.envelope.minLng, f.geom.envelope.minLat,
+            f.geom.envelope.maxLng, f.geom.envelope.maxLat)
+        }
+      }
+
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!iter.hasNext) return false
+        val fullRow = serializer(iter.next())
+        current =
+          if (proj.length == full.length) fullRow.copy()
+          else new GenericInternalRow(proj.map { case (i, dt) => fullRow.get(i, dt) })
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

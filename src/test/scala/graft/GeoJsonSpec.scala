@@ -109,6 +109,19 @@ class GeoJsonSpec extends AnyFunSuite {
     assert(exported.contains(""""whole":3.0"""))
   }
 
+  test("integral JSON at the i64/u64 boundary routes to UInt64, never clamps") {
+    import graft.codec.FeatureCodec._
+    import GeoJson.{JNum, propValue}
+    // 2^63 == Long.MaxValue.toDouble (which rounds UP): serde_json's u64
+    // arm owns it — a <= bound would clamp it to PInt64(Long.MaxValue)
+    assert(propValue(JNum(9.223372036854776e18, integral = true))
+      .contains(PUInt64(Long.MinValue))) // 2^63 as the unsigned bit pattern
+    assert(propValue(JNum(Long.MaxValue.toDouble - 1024, integral = true))
+      .contains(PInt64(9223372036854774784L)))
+    assert(propValue(JNum(1.0e19, integral = true)) // exactly representable
+      .contains(PUInt64(java.lang.Long.parseUnsignedLong("10000000000000000000"))))
+  }
+
   test("typed columnar bridge roundtrips all 13 scalar variants") {
     import graft.codec.FeatureCodec._
     import graft.sources.GeoJsonIngest.{fromCell, toCell}

@@ -83,6 +83,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs2.exists(p => p._1 == 0L || p._2 == 0L))
   }
 
+  test("DF cap: near-dups straddling a size-bucket boundary connect via adjacent-bucket anchors") {
+    val s = spark
+    import s.implicits._
+    // doc a: 8 words -> 6 distinct shingles -> bucket floor(log2(7)) = 2
+    // doc b: a + 1 word -> 7 shingles      -> bucket floor(log2(8)) = 3
+    // jaccard(a, b) = 6/7 = 0.857 >= 0.8 — a TRUE near-dup pair whose two
+    // sides land in adjacent log2 buckets, with EVERY shared shingle hot
+    // in both buckets (10 copies each side, cap 5): rarePairs is empty, so
+    // only the +1-shifted anchor rows can connect the two halves
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val b = a + " w9"
+    val docs = ((1 to 10).map(i => (i.toLong, a)) ++ (11 to 20).map(i => (i.toLong, b)))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(docs, 8000, maxShingleDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucket-2's anchor (doc 1) must reach every bucket-3 doc
+    assert((11 to 20).forall(i => got.contains((1L, i.toLong))), got.toSeq.sorted)
+    // and the within-bucket stars are still there
+    assert((2 to 10).forall(i => got.contains((1L, i.toLong))))
+    assert((12 to 20).forall(i => got.contains((11L, i.toLong))))
+  }
+
   test("minhash LSH (verified) is a subset of true jaccard pairs and recovers injected dups") {
     val truth = pairs(Dedup.ngramJaccard(corpus, 6000))
     val lsh = pairs(Dedup.minhashLsh(corpus, 6000))
@@ -121,6 +143,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r2 >= 0.7, s"radius-2 recall $r2 below floor")
     assert(r3 >= 0.9, s"radius-3 recall $r3 below floor")
     assert(r3 >= r2)
+    // the DEFAULT radius must sit at or above the 0.9 quality bar — anyone
+    // taking defaults on the approximate path must not silently lose >10%
+    val annDefault = Similarity.lshTopK(embeddings, q, 5, 64, numPlanes = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rDefault = (brute intersect annDefault).size.toDouble / brute.size
+    info(s"ANN recall@5 at DEFAULT radius: $rDefault")
+    assert(rDefault >= 0.9, s"default-radius recall $rDefault below the 0.9 floor")
+  }
+
+  test("IVF codebook training sample is hard-capped, never corpus-proportional") {
+    // sampleEvery=1 admits every row; the cap must still bound the collect
+    val capped = Similarity.trainSample(embeddings, sampleEvery = 1, maxTrainRows = 37)
+    assert(capped.length <= 37, s"cap violated: ${capped.length}")
+    assert(capped.length >= 16, "cap must still feed nLists=16 centroids")
+    // and exactness at nProbe = nLists holds REGARDLESS of codebook quality
+    val q = embeddings.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val brute = Similarity.bruteTopK(embeddings, q, 3)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embeddings, q, 3, 64, nLists = 16, nProbe = 16,
+        maxTrainRows = 37)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute)
   }
 
   test("IVF top-k: exact when probing all lists; recall/cost ladder below") {
