@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * (wkb + envelope int stat columns + ordered TYPED properties), ready
   * for Ingest.write's Hilbert layout.
   *
-  * Properties travel as `props: array<struct<key,kind,b,i,d,s,bin>>` — a
-  * tagged union covering the reference's 13 scalar PropertyValue variants
-  * (geomedea_geozero/src/lib.rs:14-56; Vec/Map are rejected there too,
-  * `todo!("handle unsupported")`). `prop_keys`/`prop_vals` remain as the
+  * Properties travel as `props: array<struct<key,kind,b,i,d,s,bin,vec,
+  * kvs>>` — a tagged union covering ALL 15 of the reference's
+  * PropertyValue variants: 13 scalars plus typed Vec (ArrayType of the
+  * scalar union) and typed ordered Map (the reference's own bridge
+  * rejects Vec/Map outright, geomedea_geozero/src/lib.rs:32-34, so this
+  * exceeds format parity there). `prop_keys`/`prop_vals` remain as the
   * legacy flat-string view.
   *
   * Two paths:
@@ -25,34 +27,58 @@ import org.apache.spark.sql.functions._
   */
 object GeoJsonIngest {
 
-  /** Columnar tagged union for one typed property. kind is one of
-    * bool,i8,u8,i16,u16,i32,u32,i64,u64,f32,f64,bytes,string; exactly one
-    * value field is set (unsigned values carry their raw bits in `i`).
+  /** One typed SCALAR value — the leaf of the tagged union. kind is one
+    * of bool,i8,u8,i16,u16,i32,u32,i64,u64,f32,f64,bytes,string; exactly
+    * one value field is set (unsigned values carry their raw bits in
+    * `i`).
+    */
+  final case class PropScalar(kind: String,
+                              b: Option[Boolean] = None, i: Option[Long] = None,
+                              d: Option[Double] = None, s: Option[String] = None,
+                              bin: Option[Array[Byte]] = None)
+
+  /** One (k, v) entry of a typed Map property — array<struct>, NOT Spark
+    * MapType, because the reference's property maps are insertion-ordered
+    * (`feature.rs:45-83`) and MapType would lose the order.
+    */
+  final case class PropEntry(k: String, v: PropScalar)
+
+  /** Columnar tagged union for one typed property: the 13 scalar kinds
+    * (value in the PropScalar-shaped fields) plus kind=vec (typed
+    * elements in `vec`: ArrayType of the scalar union) and kind=map
+    * (typed ordered entries in `kvs`). One level of typed nesting —
+    * already beyond the reference's own Spark-facing bridge, which
+    * rejects Vec/Map outright (`geomedea_geozero/src/lib.rs:32-34`);
+    * deeper nesting (vec-of-vec) stays codec-only (FeatureCodec carries
+    * it byte-exactly) and is rejected here with a clear error.
     */
   final case class PropCell(key: String, kind: String,
                             b: Option[Boolean] = None, i: Option[Long] = None,
                             d: Option[Double] = None, s: Option[String] = None,
-                            bin: Option[Array[Byte]] = None)
+                            bin: Option[Array[Byte]] = None,
+                            vec: Option[Seq[PropScalar]] = None,
+                            kvs: Option[Seq[PropEntry]] = None)
 
-  def toCell(key: String, v: PValue): PropCell = v match {
-    case PBool(x)    => PropCell(key, "bool", b = Some(x))
-    case PInt8(x)    => PropCell(key, "i8", i = Some(x.toLong))
-    case PUInt8(x)   => PropCell(key, "u8", i = Some(x.toLong))
-    case PInt16(x)   => PropCell(key, "i16", i = Some(x.toLong))
-    case PUInt16(x)  => PropCell(key, "u16", i = Some(x.toLong))
-    case PInt32(x)   => PropCell(key, "i32", i = Some(x.toLong))
-    case PUInt32(x)  => PropCell(key, "u32", i = Some(x))
-    case PInt64(x)   => PropCell(key, "i64", i = Some(x))
-    case PUInt64(x)  => PropCell(key, "u64", i = Some(x))
-    case PFloat32(x) => PropCell(key, "f32", d = Some(x.toDouble))
-    case PFloat64(x) => PropCell(key, "f64", d = Some(x))
-    case PBytes(x)   => PropCell(key, "bytes", bin = Some(x))
-    case PString(x)  => PropCell(key, "string", s = Some(x))
-    case other       => // mirror the reference bridge: Vec/Map unsupported
-      throw new IllegalArgumentException(s"unsupported columnar property: $other")
+  def toScalar(v: PValue): PropScalar = v match {
+    case PBool(x)    => PropScalar("bool", b = Some(x))
+    case PInt8(x)    => PropScalar("i8", i = Some(x.toLong))
+    case PUInt8(x)   => PropScalar("u8", i = Some(x.toLong))
+    case PInt16(x)   => PropScalar("i16", i = Some(x.toLong))
+    case PUInt16(x)  => PropScalar("u16", i = Some(x.toLong))
+    case PInt32(x)   => PropScalar("i32", i = Some(x.toLong))
+    case PUInt32(x)  => PropScalar("u32", i = Some(x))
+    case PInt64(x)   => PropScalar("i64", i = Some(x))
+    case PUInt64(x)  => PropScalar("u64", i = Some(x))
+    case PFloat32(x) => PropScalar("f32", d = Some(x.toDouble))
+    case PFloat64(x) => PropScalar("f64", d = Some(x))
+    case PBytes(x)   => PropScalar("bytes", bin = Some(x))
+    case PString(x)  => PropScalar("string", s = Some(x))
+    case other       =>
+      throw new IllegalArgumentException(
+        s"columnar bridge carries one level of Vec/Map nesting; got nested $other")
   }
 
-  def fromCell(c: PropCell): (String, PValue) = c.key -> (c.kind match {
+  def fromScalar(c: PropScalar): PValue = c.kind match {
     case "bool"   => PBool(c.b.get)
     case "i8"     => PInt8(c.i.get.toByte)
     case "u8"     => PUInt8(c.i.get.toInt)
@@ -67,6 +93,21 @@ object GeoJsonIngest {
     case "bytes"  => PBytes(c.bin.get)
     case "string" => PString(c.s.get)
     case k        => throw new IllegalArgumentException(s"unknown prop kind $k")
+  }
+
+  def toCell(key: String, v: PValue): PropCell = v match {
+    case PVec(xs) => PropCell(key, "vec", vec = Some(xs.map(toScalar)))
+    case PMap(ps) => PropCell(key, "map",
+      kvs = Some(ps.map { case (k, x) => PropEntry(k, toScalar(x)) }))
+    case scalar =>
+      val sc = toScalar(scalar)
+      PropCell(key, sc.kind, sc.b, sc.i, sc.d, sc.s, sc.bin)
+  }
+
+  def fromCell(c: PropCell): (String, PValue) = c.key -> (c.kind match {
+    case "vec" => PVec(c.vec.get.map(fromScalar).toVector)
+    case "map" => PMap(c.kvs.get.map(e => e.k -> fromScalar(e.v)).toVector)
+    case _     => fromScalar(PropScalar(c.kind, c.b, c.i, c.d, c.s, c.bin))
   })
 
   final case class FeatRow(feature_id: Long, wkb: Array[Byte], props: Seq[PropCell],
@@ -103,6 +144,24 @@ object GeoJsonIngest {
       .drop("feature_id")
       .withColumn("feature_id", monotonically_increasing_id())
     withEnvelope(parsed)
+  }
+
+  /** CSV export — the geozero CsvWriter analog (the reference replays
+    * features into ANY geozero processor, `geozero_reader.rs:172-188`;
+    * its README measures a 106 MB CSV extract). Column set follows
+    * geozero's CsvWriter contract: `geometry` (WKT) + the FIRST
+    * feature's property keys; later features contribute the values they
+    * have under those keys (missing -> null). Returns a plain typed
+    * DataFrame — `df.write.option("header", true).csv(dir)` then emits
+    * reference-shaped CSV with Spark handling RFC-4180 quoting, in
+    * parallel (the 100 TB path: no driver collect, one task per
+    * partition).
+    */
+  def toCsvFrame(df: DataFrame): DataFrame = {
+    val keys = df.select("prop_keys").head().getSeq[String](0)
+    val byKey = map_from_arrays(col("prop_keys"), col("prop_vals"))
+    df.select(stAsText(col("wkb")).as("geometry") +:
+      keys.map(k => element_at(byKey, k).as(k)): _*)
   }
 
   /** Export (S9): geometry frame -> GeoJSON feature strings with TYPED

@@ -149,7 +149,13 @@ class GeomedeaScanBuilder(path: String)
     filters // all filters stay residual: the index prune is a superset
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  /** Top-level column pruning only: Spark may hand us a NESTED-pruned
+    * schema (e.g. props element struct reduced to {kind,i}); widen each
+    * kept field back to its full type — the reader emits whole cells, and
+    * a narrowed readSchema would shift struct ordinals and misread them.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(requiredSchema.fields.map(f => GeomedeaTable.Schema(f.name)))
 
   override def build(): Scan = {
     val bbox =

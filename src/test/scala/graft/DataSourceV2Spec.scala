@@ -1,0 +1,134 @@
+package graft
+
+import graft.codec.FeatureCodec.{Feature, PInt64, PString}
+import graft.geom.{Envelope, Wkb}
+import graft.sources.{GeomedeaFile, GeomedeaSpark}
+import graft.sources.v2.GeomedeaScan
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `spark.read.format("geomedea")` — the first-class native-format read
+  * path (reference `reader.rs:313-346` select/select_bbox semantics
+  * driven by ordinary Catalyst WHERE filters).
+  */
+class DataSourceV2Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Two shards with DISJOINT extents (west ~[0,10], east ~[100,110] deg)
+    * plus one empty file — so file-level pruning is observable.
+    */
+  lazy val shardDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("gm_dsv2").toString
+    def pt(lngDeg: Double, latDeg: Double, id: Long) = Feature(
+      Wkb.Pt((lngDeg * 1e7).toInt, (latDeg * 1e7).toInt),
+      Vector("doc" -> PString(s"doc-$id"), "id" -> PInt64(id)))
+    val west = (0 until 40).map(i => pt(i % 10, i / 10, i.toLong))
+    val east = (0 until 40).map(i => pt(100 + i % 10, i / 10, 1000L + i))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/west.geomedea"),
+      GeomedeaFile.write(west, compressed = true, pageSizeGoal = 256))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/east.geomedea"),
+      GeomedeaFile.write(east, compressed = false, pageSizeGoal = 256))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/empty.geomedea"),
+      GeomedeaFile.write(Seq.empty, compressed = true, pageSizeGoal = 256))
+    dir
+  }
+
+  private def bboxWhere(df: DataFrame, q: Envelope): DataFrame =
+    df.where(col("max_lng") >= q.minLng && col("max_lat") >= q.minLat &&
+      col("min_lng") <= q.maxLng && col("min_lat") <= q.maxLat)
+
+  private def scanOf(df: DataFrame): GeomedeaScan =
+    // logical plan, not executedPlan: AQE (any shuffle, e.g. ORDER BY)
+    // hides the BatchScanExec inside AdaptiveSparkPlanExec
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collectFirst { case s: GeomedeaScan => s }
+      .getOrElse(fail("no GeomedeaScan in plan"))
+
+  test("full scan reads every feature of every shard with stable FeatureLocations") {
+    val df = spark.read.format("geomedea").load(shardDir)
+    assert(df.count() == 80)
+    // row surface matches the functional bridge (same columns, same rows)
+    val viaBridge = GeomedeaSpark.readDir(spark, shardDir)
+    assert(df.columns.toSet == viaBridge.columns.toSet)
+    def key(d: DataFrame) = d
+      .select(regexp_extract(col("source_file"), "([a-z]+)\\.geomedea", 1),
+        col("page_offset"), col("feature_offset"), element_at(col("prop_vals"), 1))
+      .collect().map(_.toSeq).toSet
+    assert(key(df) == key(viaBridge))
+    // full scan plans one partition per non-empty-or-not file (no filter
+    // pushed -> no planning-time prune; the empty file just yields 0 rows)
+    assert(scanOf(df).toBatch.planInputPartitions().length == 3)
+  }
+
+  test("WHERE bbox pushes filters, prunes whole files at planning, equals post-filter") {
+    val q = Envelope.fromDegrees(100, 0, 110, 10) // east shard only
+    val full = spark.read.format("geomedea").load(shardDir)
+    val pruned = bboxWhere(full, q)
+    // correctness: identical to filtering the full scan
+    val expect = full.collect().count { r =>
+      r.getAs[Int]("max_lng") >= q.minLng && r.getAs[Int]("max_lat") >= q.minLat &&
+        r.getAs[Int]("min_lng") <= q.maxLng && r.getAs[Int]("min_lat") <= q.maxLat
+    }
+    assert(expect == 40)
+    assert(pruned.count() == 40)
+    assert(pruned.select("source_file").distinct().collect()
+      .forall(_.getString(0).endsWith("east.geomedea")))
+    // pushdown evidence: the scan carries the bbox + pushed filters
+    val scan = scanOf(pruned)
+    assert(scan.description().contains("PushedFilters: ["), scan.description())
+    assert(scan.description().contains("GreaterThanOrEqual(max_lng"), scan.description())
+    // planning-time prune: west + empty shards are never planned
+    assert(scan.toBatch.planInputPartitions().length == 1)
+  }
+
+  test("point-query filters on min_* columns prune too (max >= min superset argument)") {
+    // a user filtering points often writes equality-ish bounds on min_*
+    val df = spark.read.format("geomedea").load(shardDir)
+      .where(col("min_lng") >= 1000000000 && col("min_lng") <= 1100000000 &&
+        col("min_lat") >= 0 && col("min_lat") <= 100000000)
+    assert(df.count() == 40)
+    assert(scanOf(df).toBatch.planInputPartitions().length == 1)
+  }
+
+  test("column pruning: narrow projection still correct (ReadSchema subset)") {
+    val df = spark.read.format("geomedea").load(shardDir)
+      .select("source_file", "min_lng")
+    val rows = df.collect()
+    assert(rows.length == 80)
+    assert(rows.forall(_.length == 2))
+    val west = rows.filter(_.getString(0).endsWith("west.geomedea"))
+    assert(west.map(_.getInt(1)).min == 0)
+    assert(scanOf(df).readSchema().fieldNames.toSeq == Seq("source_file", "min_lng"))
+  }
+
+  test("SQL over the format: CREATE TABLE USING geomedea + WHERE drives the same prune") {
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gm USING geomedea OPTIONS (path '$shardDir')")
+    val out = spark.sql(
+      """SELECT element_at(prop_vals, 2) AS id FROM gm
+        |WHERE max_lng >= 1000000000 AND min_lng <= 1100000000
+        |  AND max_lat >= 0 AND min_lat <= 100000000
+        |ORDER BY id""".stripMargin)
+    val ids = out.collect().map(_.getString(0))
+    assert(ids.length == 40 && ids.forall(_.toLong >= 1000L))
+    assert(scanOf(out).toBatch.planInputPartitions().length == 1)
+  }
+
+  test("typed props survive the v2 reader (same cells as the bridge)") {
+    val df = spark.read.format("geomedea").load(s"$shardDir/west.geomedea")
+    val cells = df.orderBy("page_offset", "feature_offset")
+      .selectExpr("props[1].kind", "props[1].i").head()
+    assert(cells.getString(0) == "i64")
+    // single-file load works as well as directory load
+    assert(df.count() == 40)
+  }
+}

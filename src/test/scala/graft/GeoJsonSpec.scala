@@ -109,6 +109,33 @@ class GeoJsonSpec extends AnyFunSuite {
     assert(exported.contains(""""whole":3.0"""))
   }
 
+  test("CSV export: WKT + first-feature columns (geozero CsvWriter contract), quoted roundtrip") {
+    val doc =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[1.5,2.5]},
+        | "properties":{"name":"has, comma","pop":12345}},
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[-3.25,0.5]},
+        | "properties":{"name":"quote \" inside","pop":7,"extra":"not in first feature"}}]}""".stripMargin
+    val tmp = java.nio.file.Files.createTempFile("csv", ".geojson")
+    java.nio.file.Files.write(tmp, doc.getBytes)
+    val df = GeoJsonIngest.fromFeatureCollection(spark, tmp.toString)
+    val csv = GeoJsonIngest.toCsvFrame(df)
+    // column set = geometry + the FIRST feature's keys ("extra" dropped)
+    assert(csv.columns.toSeq == Seq("geometry", "name", "pop"))
+    val rows = csv.orderBy("pop").collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("POINT(1.5 2.5)", "has, comma", "12345"),
+      ("POINT(-3.25 0.5)", "quote \" inside", "7")))
+    // real parallel CSV write/read: Spark applies RFC-4180 quoting, the
+    // special characters survive byte-exact
+    val out = java.nio.file.Files.createTempDirectory("csvout").toString + "/csv"
+    csv.write.option("header", true).csv(out)
+    val back = spark.read.option("header", true).csv(out)
+    assert(back.columns.toSeq == csv.columns.toSeq)
+    assert(back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      rows.toSet)
+  }
+
   test("integral JSON at the i64/u64 boundary routes to UInt64, never clamps") {
     import graft.codec.FeatureCodec._
     import GeoJson.{JNum, propValue}
@@ -122,19 +149,37 @@ class GeoJsonSpec extends AnyFunSuite {
       .contains(PUInt64(java.lang.Long.parseUnsignedLong("10000000000000000000"))))
   }
 
-  test("typed columnar bridge roundtrips all 13 scalar variants") {
+  test("typed columnar bridge roundtrips all 15 variants (13 scalars + typed Vec/Map)") {
     import graft.codec.FeatureCodec._
     import graft.sources.GeoJsonIngest.{fromCell, toCell}
-    val vals: Vector[(String, PValue)] = Vector(
+    val scalars: Vector[(String, PValue)] = Vector(
       "b" -> PBool(true), "i8" -> PInt8(-5), "u8" -> PUInt8(200),
       "i16" -> PInt16(-1000), "u16" -> PUInt16(60000),
       "i32" -> PInt32(Int.MinValue), "u32" -> PUInt32(4000000000L),
       "i64" -> PInt64(Long.MinValue), "u64" -> PUInt64(-1L),
       "f32" -> PFloat32(1.5f), "f64" -> PFloat64(math.Pi),
       "bin" -> PBytes(Array[Byte](1, 2)), "s" -> PString("x"))
-    vals.foreach { case (k, v) => assert(fromCell(toCell(k, v)) == (k -> v)) }
-    // Vec/Map rejected like the reference bridge (lib.rs:32-34)
-    intercept[IllegalArgumentException](toCell("v", PVec(Vector(PBool(true)))))
+    val nested: Vector[(String, PValue)] = Vector(
+      // Vec of mixed scalar kinds: typed elements, not stringified
+      "v" -> PVec(Vector(PBool(false), PInt64(7L), PString("in vec"), PFloat32(0.5f))),
+      // Map keeps INSERTION order (array<struct>, not MapType)
+      "m" -> PMap(Vector("z" -> PString("first"), "a" -> PUInt64(-1L))))
+    (scalars ++ nested).foreach { case (k, v) => assert(fromCell(toCell(k, v)) == (k -> v)) }
+    // one level of typed nesting: vec-of-vec stays codec-only
+    intercept[IllegalArgumentException](toCell("vv", PVec(Vector(PVec(Vector(PBool(true)))))))
+
+    // and THROUGH Spark: a feature carrying vec+map survives the columnar
+    // bridge (write a .geomedea, read it via the v2 source, reconstruct)
+    import graft.sources.{GeomedeaFile, GeoJsonIngest}
+    val f = Feature(Wkb.Pt(15000000, 25000000), scalars ++ nested)
+    val path = java.nio.file.Files.createTempDirectory("gmtyped").toString + "/t.geomedea"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      GeomedeaFile.write(Seq(f), compressed = false, pageSizeGoal = 1024))
+    val s = spark
+    import s.implicits._
+    val cells = spark.read.format("geomedea").load(path)
+      .select("props").as[Seq[GeoJsonIngest.PropCell]].head()
+    assert(cells.map(GeoJsonIngest.fromCell).toVector == f.props)
   }
 
   test("native-format bridge: places.json through GeoJSON -> .geomedea -> Spark keeps the reference goldens") {
