@@ -66,57 +66,66 @@ object Knn {
     import spark.implicits._
     val qcells = probeCells.toDF("query_id", "q_lng", "q_lat", "cell")
 
-    // job 2: single cell equi-join, then map-side partial top-k, then the
-    // per-query window over the tiny survivor set.
+    // job 2: single cell equi-join, then a bounded top-k AGGREGATION per
+    // query. Spark plans the typed Aggregator as a two-phase hash
+    // aggregate, so with skewed data (the hot cluster collapses into one
+    // cell) each map task combines its candidates down to <= k rows per
+    // query BEFORE the shuffle — the partial top-k that round 1's bare
+    // `row_number() over (partition by query_id)` lacked (measured
+    // 39.5 s -> 6.2 s at sf0.1) now falls out of map-side combine, with
+    // the scan->join->project pipeline staying whole-stage-codegen up to
+    // the aggregate (the round-2 mapPartitions pass broke codegen and
+    // paid row ser/de per candidate). Exactness: the global top-k is
+    // contained in the union of per-partition top-ks, and the
+    // aggregator's (dist2, doc_id-binary) order IS the rank order, so no
+    // window is needed at all — rank = position in the merged buffer.
     val dx = (col("lng").cast("long") - col("q_lng").cast("long")).cast("double")
     val dy = (col("lat").cast("long") - col("q_lat").cast("long")).cast("double")
     val joined = pts.join(broadcast(qcells), Seq("cell"), "inner")
       .withColumn("dist2", dx * dx + dy * dy)
       .select("query_id", "doc_id", "dist2")
-    // Partial top-k BEFORE the global window: with skewed data (the hot
-    // cluster collapses into one cell) a bare
-    // `row_number() over (partition by query_id)` funnels every candidate
-    // of a hot query into ONE task (measured 39.5 s at sf0.1, vs 5.1 s for
-    // the comparable salted join). Each input partition keeps only its k
-    // best rows per query in a bounded heap under the SAME
-    // (dist2, doc_id) order the final rank uses — exactness is preserved
-    // because the global top-k is always contained in the union of
-    // per-partition top-ks — so the window sees <= k * numPartitions rows
-    // per query instead of every candidate.
-    val enc = org.apache.spark.sql.Encoders.row(joined.schema)
-    val partial = joined.mapPartitions { it =>
-      // tie-break MUST use Spark's own string order (UTF-8 binary), not
-      // Java's UTF-16 compareTo — they disagree on supplementary-plane
-      // ids, and the final window ranks with Spark's order. Nulls sort
-      // first, matching the window's asc nulls-first.
-      def cmpId(a: Any, b: Any): Int = (a, b) match {
-        case (null, null) => 0
-        case (null, _)    => -1
-        case (_, null)    => 1
-        case (x: String, y: String) =>
-          org.apache.spark.unsafe.types.UTF8String.fromString(x)
-            .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(y))
-        case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[Cand])
+    joined.groupBy("query_id")
+      .agg(topk(col("doc_id"), col("dist2")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.doc_id").as("doc_id"), col("col.dist2").as("dist2"))
+  }
+
+  final case class Cand(doc_id: String, dist2: Double)
+
+  /** Bounded exact top-k aggregator over (doc_id, dist2), ordered by
+    * (dist2 asc, doc_id asc in UTF-8 BINARY order — Spark's and the
+    * DuckDB oracle's string order, not Java's UTF-16 compareTo, which
+    * disagrees on supplementary-plane ids; nulls first, matching SQL asc
+    * nulls-first). The buffer is the sorted top-k itself, so `finish`
+    * emits ranks directly and memory is O(k) per query per task.
+    */
+  final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Cand, Seq[Cand], Seq[Cand]] {
+    private def lt(a: Cand, b: Cand): Boolean = {
+      val c = java.lang.Double.compare(a.dist2, b.dist2)
+      if (c != 0) c < 0
+      else if (a.doc_id == null) b.doc_id != null
+      else if (b.doc_id == null) false
+      else org.apache.spark.unsafe.types.UTF8String.fromString(a.doc_id)
+        .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b.doc_id)) < 0
+    }
+    private def insert(buf: Seq[Cand], c: Cand): Seq[Cand] =
+      if (buf.length >= k && !lt(c, buf.last)) buf
+      else {
+        val idx = buf.indexWhere(x => lt(c, x))
+        val i = if (idx < 0) buf.length else idx
+        (buf.take(i) :+ c) ++ buf.drop(i).take(k - i - 1)
       }
-      val ord: Ordering[Row] = (x: Row, y: Row) => {
-        val c = java.lang.Double.compare(x.getDouble(2), y.getDouble(2))
-        if (c != 0) c else cmpId(x.get(1), y.get(1))
-      }
-      val heaps = scala.collection.mutable.Map
-        .empty[Long, scala.collection.mutable.PriorityQueue[Row]]
-      it.foreach { r =>
-        val h = heaps.getOrElseUpdate(r.getLong(0),
-          scala.collection.mutable.PriorityQueue.empty[Row](ord)) // max-first
-        if (h.size < k) h.enqueue(r)
-        else if (ord.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
-    }(enc)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("doc_id").asc)
-    partial
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "doc_id", "dist2")
+    override def zero: Seq[Cand] = Vector.empty
+    override def reduce(buf: Seq[Cand], c: Cand): Seq[Cand] = insert(buf, c)
+    override def merge(a: Seq[Cand], b: Seq[Cand]): Seq[Cand] = b.foldLeft(a)(insert)
+    override def finish(r: Seq[Cand]): Seq[Cand] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Cand]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Cand]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Cand]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Cand]]()
   }
 
   /** Test/oracle brute force: window top-k over the full cross join. */

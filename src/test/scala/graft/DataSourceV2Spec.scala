@@ -123,6 +123,28 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(scanOf(out).toBatch.planInputPartitions().length == 1)
   }
 
+  test("X5 analog: .geomedea dir split packing follows openCostInBytes/maxPartitionBytes") {
+    // The reference's HTTP reader merges nearby byte ranges (16,000-byte
+    // threshold, packed_r_tree/reader.rs:159-161) and batches feature
+    // fetches (http_reader.rs:121-187). BASELINE.md maps those constants
+    // to Spark's split-packing knobs; this pins the mapping over the
+    // sharded .geomedea directory itself (binaryFile-planned readDir):
+    // a huge openCostInBytes means "never merge" -> one split per file;
+    // zero open cost + one-partition floor packs all files together.
+    def partitionsWith(maxPB: String, openCost: String): Int = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", maxPB)
+      spark.conf.set("spark.sql.files.openCostInBytes", openCost)
+      spark.conf.set("spark.sql.files.minPartitionNum", "1")
+      try GeomedeaSpark.readDir(spark, shardDir).rdd.getNumPartitions
+      finally Seq("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes",
+        "spark.sql.files.minPartitionNum").foreach(spark.conf.unset)
+    }
+    val onePerFile = partitionsWith("134217728", (1L << 30).toString)
+    assert(onePerFile == 3, s"huge open cost must plan one split per file, got $onePerFile")
+    val packed = partitionsWith("134217728", "0")
+    assert(packed == 1, s"zero open cost + 1-partition floor must pack all files, got $packed")
+  }
+
   test("typed props survive the v2 reader (same cells as the bridge)") {
     val df = spark.read.format("geomedea").load(s"$shardDir/west.geomedea")
     val cells = df.orderBy("page_offset", "feature_offset")

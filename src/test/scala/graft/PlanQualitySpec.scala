@@ -120,6 +120,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(n > 0 && n == SpatialJoin.bboxFilter(randomT, cold).count())
   }
 
+  test("salting divides the hot cell's largest shuffle key ~saltFactor x (deterministic A/B)") {
+    // Wall-clock A/B is noise-fragile in this sandbox (measured 5-50x
+    // exogenous stalls), so the salting benefit is recorded as the thing
+    // salting actually changes: the size of the largest shuffle-key
+    // group, which bounds the slowest task of the probe-side shuffle.
+    import graft.expr.GraftFunctions._
+    val saltFactor = 8
+    val total = geo.count()
+    val keyed = geo.withColumn("cell", gmCell(col("lng"), col("lat"), SpatialJoin.DefaultRes))
+    val unsalted = keyed.groupBy("cell").count()
+      .agg(max("count")).head().getLong(0)
+    // the exact salt expression saltedCellJoin uses (SpatialJoin.scala)
+    val salted = keyed
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltFactor)).cast("int"))
+      .groupBy("cell", "salt").count()
+      .agg(max("count")).head().getLong(0)
+    info(s"max key group: unsalted=$unsalted salted=$salted total=$total")
+    // skew by construction: the 2x2-degree hot cluster (90% of docs)
+    // straddles one res-4 lat boundary, so its larger half — still >half
+    // the corpus in ONE key — is the hot cell
+    assert(unsalted * 2 >= total, s"hot cell $unsalted of $total")
+    // ...and the deterministic hash salt spreads it to within 30% of the
+    // ideal factor-of-8 split
+    assert(salted <= (unsalted * 13) / (saltFactor * 10),
+      s"salted max $salted vs unsalted $unsalted / $saltFactor")
+  }
+
   test("file container bbox read fetches a strict subset of pages + bytes (S7 coalesced-request analog)") {
     val feats = (0 until 500).map { i =>
       Feature(Wkb.Pt(ScaledCoord.toScaled(-170 + i * 0.68), ScaledCoord.toScaled(-80 + (i * 31 % 160))),
