@@ -45,12 +45,16 @@ import org.apache.spark.util.SerializableConfiguration
 class GeomedeaDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "geomedea"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = GeomedeaTable.Schema
+  // true so df.write.format("geomedea").save(dir) hands the dataframe's
+  // schema through (the WRITE contract is wkb+props; extra columns ignored)
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
-        "geomedea source needs exactly one load(path) — a .geomedea file or a directory of them"))
-    new GeomedeaTable(path)
+        "geomedea source needs exactly one load/save(path) — a .geomedea file or a directory of them"))
+    new GeomedeaTable(path,
+      if (schema == null || schema.isEmpty) GeomedeaTable.Schema else schema)
   }
 }
 
@@ -85,13 +89,26 @@ object GeomedeaTable {
   val HeadBytes: Int = graft.codec.FeatureCodec.HeaderBytes + graft.index.PackedRTree.NodeBytes
 }
 
-class GeomedeaTable(path: String) extends Table with SupportsRead {
+class GeomedeaTable(path: String, tableSchema: StructType = GeomedeaTable.Schema)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"geomedea.`$path`"
-  override def schema(): StructType = GeomedeaTable.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(tableSchema == GeomedeaTable.Schema,
+      "geomedea reads use the source's own schema; user-specified read schemas are unsupported")
     new GeomedeaScanBuilder(path)
+  }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(info.schema().fieldNames.contains("wkb") &&
+      info.schema().fieldNames.contains("props"),
+      s"geomedea write needs wkb + props columns; got ${info.schema().fieldNames.mkString(",")}")
+    new GeomedeaWriteBuilder(path, info)
+  }
 }
 
 class GeomedeaScanBuilder(path: String)

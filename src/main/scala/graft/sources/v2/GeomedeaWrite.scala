@@ -1,0 +1,127 @@
+package graft.sources.v2
+
+import graft.codec.FeatureCodec.Feature
+import graft.sources.{GeomedeaFile, GeoJsonIngest}
+import graft.sources.GeoJsonIngest.PropCell
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{BinaryType, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+/** Distributed `.geomedea` writer: `df.write.format("geomedea")
+  * .mode("append").save(dir)` emits ONE shard file per input partition,
+  * written EXECUTOR-side — the scale path the functional bridge
+  * (`GeomedeaSpark.write`, driver collect) deliberately is not. Each
+  * shard is a complete reference-format container (header + packed
+  * R-tree + zstd pages, Hilbert-desc layout applied per shard by
+  * [[GeomedeaFile.write]]), so the result directory is exactly what
+  * [[GeomedeaDataSource]] and `readDir` consume, with per-file pruning
+  * intact. Callers control shard count/size via `repartition` (each
+  * partition must fit [[graft.sources.GeomedeaSpark.MaxFileBytes]] —
+  * the format is single-node per file by design).
+  *
+  * Input contract: columns `wkb: binary` and `props: array<PropCell>`
+  * (any extra columns are ignored). `option("compressed", "false")`
+  * selects the uncompressed page codec.
+  *
+  * Commit protocol: tasks write to invisible `_tmp_...` names and
+  * RENAME into place on job commit (driver), so readers never observe
+  * partial output and an aborted job leaves nothing visible.
+  */
+class GeomedeaWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val compressed = info.options.getBoolean("compressed", true)
+      new GeomedeaBatchWrite(path, info.schema(), compressed, doTruncate)
+    }
+  }
+}
+
+final case class GeomedeaCommit(tmpName: String, finalName: String)
+    extends WriterCommitMessage
+
+class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
+                         truncate: Boolean) extends BatchWrite {
+  private val conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GeomedeaWriterFactory(path, schema, compressed, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".geomedea"))
+        .foreach(s => fs.delete(s.getPath, false))
+    messages.foreach {
+      case GeomedeaCommit(tmp, fin) =>
+        val ok = fs.rename(new Path(dir, tmp), new Path(dir, fin))
+        require(ok, s"failed to publish $tmp -> $fin under $path")
+      case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    messages.foreach {
+      case GeomedeaCommit(tmp, _) => fs.delete(new Path(dir, tmp), false)
+      case _                      => ()
+    }
+  }
+}
+
+class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolean,
+                            conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val wkbIdx = schema.fieldIndex("wkb")
+      private val propsIdx = schema.fieldIndex("props")
+      private val propsType = schema(propsIdx).dataType
+      // deserialize through the SAME encoder shape the reader serializes
+      // with — PropCell field order is part of the bridge contract
+      private val deser =
+        ExpressionEncoder[GeomedeaWriterFactory.WRow]().resolveAndBind().createDeserializer()
+      private val feats = Vector.newBuilder[Feature]
+
+      override def write(record: InternalRow): Unit = {
+        val w = deser(new GenericInternalRow(Array[Any](
+          record.get(wkbIdx, BinaryType), record.get(propsIdx, propsType))))
+        feats += Feature(graft.geom.Wkb.read(w.wkb),
+          w.props.map(GeoJsonIngest.fromCell).toVector)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val fin = f"part-$partitionId%05d-$taskId.geomedea"
+        // tmp suffix must NOT be .geomedea: truncate and reader globs
+        // select on that suffix and must never see in-flight shards
+        val tmp = s"_tmp_$fin.tmp"
+        val bytes = GeomedeaFile.write(feats.result(), compressed,
+          GeomedeaFile.DefaultPageSizeGoal)
+        require(bytes.length <= graft.sources.GeomedeaSpark.MaxFileBytes,
+          s"partition $partitionId: ${bytes.length} bytes > " +
+            s"${graft.sources.GeomedeaSpark.MaxFileBytes}; repartition to more shards")
+        val dir = new Path(path)
+        val fs = dir.getFileSystem(conf.value)
+        fs.mkdirs(dir)
+        val out = fs.create(new Path(dir, tmp), true)
+        try out.write(bytes) finally out.close()
+        GeomedeaCommit(tmp, fin)
+      }
+
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+object GeomedeaWriterFactory {
+  final case class WRow(wkb: Array[Byte], props: Seq[PropCell])
+}
