@@ -192,23 +192,41 @@ object Dedup {
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3):
     * blocking on the four 16-bit chunks is lossless for hamming <= 3
     * (pigeonhole), so this equals the brute-force hamming join.
+    *
+    * Candidate generation runs over DISTINCT sim values, not docs: a pile
+    * of identical-hash docs (the round-2 "residual hot-chunk quadratic" —
+    * e.g. every near-empty doc hashing to the same value) contributes ONE
+    * representative to the chunk-blocked join instead of df^2 collision
+    * rows. Doc pairs are then reconstructed exactly: cross-value pairs by
+    * expanding each qualifying (sim_a < sim_b) value pair to its members,
+    * within-value pairs (hamming 0) by a plain equi-self-join on sim —
+    * both proportional to TRUE output size, which is the semantic floor.
     */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "chunk blocking is lossless only for hamming <= 3")
     val sims = corpus.select(col("doc_id"), gmSimhash(split(col("text"), " ")).as("sim"))
-    val chunked = sims.select(col("doc_id"), col("sim"),
+    val uniq = sims.select("sim").distinct()
+    val chunked = uniq.select(col("sim"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), shiftrightunsigned(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("cc"))
-      .select(col("doc_id"), col("sim"), col("cc.c").as("c"), col("cc.chunk").as("chunk"))
+      .select(col("sim"), col("cc.c").as("c"), col("cc.chunk").as("chunk"))
     val a = chunked.as("a"); val b = chunked.as("b")
-    a.join(b, col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+    val simPairs = a.join(b, col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+        col("a.sim") < col("b.sim"))
+      .select(col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    val cross = simPairs
+      .join(sims.select(col("sim").as("sim_a"), col("doc_id").as("da")), Seq("sim_a"))
+      .join(sims.select(col("sim").as("sim_b"), col("doc_id").as("db")), Seq("sim_b"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("hamming"))
+    val x = sims.as("x"); val y = sims.as("y")
+    val within = x.join(y, col("x.sim") === col("y.sim") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Brute-force hamming join (test oracle for [[simhashPairs]]). */

@@ -87,9 +87,14 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
       private val propsIdx = schema.fieldIndex("props")
       private val propsType = schema(propsIdx).dataType
       // deserialize through the SAME encoder shape the reader serializes
-      // with — PropCell field order is part of the bridge contract
-      private val deser =
-        ExpressionEncoder[GeomedeaWriterFactory.WRow]().resolveAndBind().createDeserializer()
+      // with — PropCell field order/names are part of the bridge
+      // contract, so reject a structurally different props column up
+      // front instead of silently misreading ordinals
+      private val enc = ExpressionEncoder[GeomedeaWriterFactory.WRow]()
+      require(propsType.catalogString == enc.schema(1).dataType.catalogString,
+        s"props column must be array<PropCell> (${enc.schema(1).dataType.catalogString}); " +
+          s"got ${propsType.catalogString}")
+      private val deser = enc.resolveAndBind().createDeserializer()
       private val feats = Vector.newBuilder[Feature]
 
       override def write(record: InternalRow): Unit = {

@@ -125,6 +125,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(blocked == brute)
     // exact duplicates have hamming 0
     assert(blocked.exists { case (a, b, h) => b == a + 1000000L && h == 0L })
+
+    // identical-hash pile (the round-2 residual hot-chunk case): 25 docs
+    // with the SAME simhash still equal brute force, and the candidate
+    // join saw one representative, not 25^2 collision rows
+    val s = spark
+    import s.implicits._
+    val pile = ((0 until 25).map(i => (i.toLong, "same tiny doc")) ++
+      Seq((100L, "another doc body entirely"), (101L, "third unrelated text here")))
+      .toDF("doc_id", "text")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val pb = setOf(Dedup.simhashPairs(pile, 3))
+    assert(pb == setOf(Dedup.simhashBrute(pile, 3)))
+    assert(pb.count { case (a, b, h) => a < 25 && b < 25 && h == 0L } == 25 * 24 / 2)
   }
 
   test("LSH ANN recall vs brute-force top-k") {
