@@ -164,6 +164,35 @@ object GeoJsonIngest {
       keys.map(k => element_at(byKey, k).as(k)): _*)
   }
 
+  /** CSV import — the inverse of [[toCsvFrame]] (geozero's bridge is
+    * any-direction; CSV is one of its source formats). Input: any
+    * DataFrame with a `geometry` WKT column (e.g. from
+    * `spark.read.option("header", true).csv(dir)` — the scale path: the
+    * CSV source splits by line and this is a per-row map). Every other
+    * column becomes a string property in column order (CSV is untyped —
+    * geozero surfaces strings; cast downstream if needed); null cells
+    * (empty CSV fields) are dropped like GeoJSON nulls.
+    */
+  def fromCsvFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns
+    val geomIdx = cols.indexOf("geometry")
+    require(geomIdx >= 0, s"CSV import needs a geometry WKT column; got ${cols.mkString(",")}")
+    val propCols = cols.zipWithIndex.filter(_._1 != "geometry")
+    val parsed = df.map { row =>
+      val wkb = graft.geom.Wkb.write(graft.geom.Wkt.parse(row.getString(geomIdx)))
+      val props = propCols.toSeq.collect {
+        case (name, i) if !row.isNullAt(i) => name -> row.get(i).toString
+      }
+      FeatRow(0L, wkb, props.map { case (k, v) => toCell(k, PString(v)) },
+        props.map(_._1), props.map(_._2))
+    }
+    withEnvelope(parsed.toDF()
+      .drop("feature_id")
+      .withColumn("feature_id", monotonically_increasing_id()))
+  }
+
   /** Export (S9): geometry frame -> GeoJSON feature strings with TYPED
     * property values (bool/number/string render unquoted-JSON-typed,
     * mirroring geozero_reader.rs's ColumnValue emission).

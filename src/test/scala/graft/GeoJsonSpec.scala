@@ -134,6 +134,19 @@ class GeoJsonSpec extends AnyFunSuite {
     assert(back.columns.toSeq == csv.columns.toSeq)
     assert(back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ==
       rows.toSet)
+
+    // CSV IMPORT (the inverse direction): the written CSV parses back to
+    // the same geometries + string property view
+    val imported = GeoJsonIngest.fromCsvFrame(back)
+    def hexOf(b: Array[Byte]) = b.map("%02X".format(_)).mkString
+    val expect = rows.map { case (g, n, p) =>
+      (hexOf(Wkb.write(graft.geom.Wkt.parse(g))), Seq("name", "pop"), Seq(n, p))
+    }.toSet
+    val got = imported.select(hex(col("wkb")), col("prop_keys"), col("prop_vals")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1), r.getSeq[String](2))).toSet
+    assert(got == expect)
+    // envelope stats materialized on import (pushdown-ready ints)
+    assert(imported.where(col("min_lng") === 15000000 && col("min_lat") === 25000000).count() == 1)
   }
 
   test("integral JSON at the i64/u64 boundary routes to UInt64, never clamps") {

@@ -167,4 +167,40 @@ class StreamAndAggSpec extends AnyFunSuite {
     assert(emitted == oracle, s"emitted $emitted != oracle $oracle")
     assert(emitted.size == 3) // two sessions for user 1, one for user 2
   }
+
+  test("streaming -> native format: foreachBatch writes reference-format shards per batch") {
+    // the streaming story composes with the distributed .geomedea writer:
+    // readStream -> foreachBatch -> write.format("geomedea") appends
+    // complete container shards per micro-batch, readable mid-stream by
+    // the v2 source (tmp-rename publish = no partial files ever visible)
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_gm").toString
+    val docs = InterleavedDocs.withGeometry(InterleavedDocs.docs(spark, Sf))
+    val src = docs.select(col("wkb"), col("doc_id")).as[(Array[Byte], String)]
+      .map { case (wkb, id) =>
+        (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
+          "doc", graft.codec.FeatureCodec.PString(id))))
+      }.toDF("wkb", "props")
+    src.repartition(2).write.parquet(s"$base/src")
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$base/src").schema)
+      .option("maxFilesPerTrigger", "1") // several micro-batches
+      .parquet(s"$base/src")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format("geomedea").mode("append").save(s"$base/out"); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val back = spark.read.format("geomedea").load(s"$base/out")
+    assert(back.count() == docs.count())
+    assert(back.select(element_at(col("prop_vals"), 1)).distinct().count() == docs.count())
+    // >= 2 shard files (one per micro-batch partition), none in-flight
+    val files = new java.io.File(s"$base/out").listFiles.map(_.getName)
+    assert(files.count(_.endsWith(".geomedea")) >= 2)
+    assert(!files.exists(_.contains("_tmp_")))
+  }
 }
