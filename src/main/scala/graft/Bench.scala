@@ -175,9 +175,14 @@ object Bench {
       val bEff = bThrN4 / (4.0 * bThrN)
       val bMinEff = (n4 * burnIters / bN4.min) / (4.0 * (n1 * burnIters / bN.min))
       val normalized = minEff / bMinEff
+      // per-rep PAIRED efficiency (each rep's N and 4N runs are seconds
+      // apart): auditable evidence of which windows were clean on both
+      // sides — a stalled N-side inflates its pair above 1.0, visibly
+      val paired = (0 until reps).map(i => eN(i) / (4.0 * eN4(i)))
+      val burnPaired = (0 until reps).map(i => bN(i) * n4 / (4.0 * bN4(i) * n1))
       spark.stop()
       emit(
-        s"""{"metric":"scaling efficiency N->4N","value":${"%.3f".format(minEff)},"unit":"ratio","queries":{"docs_per_sec_n$n1":${"%.1f".format(nDocs / eN.min)},"docs_per_sec_n$n4":${"%.1f".format(nDocs / eN4.min)},"median_eff":${"%.3f".format(eff)},"median_sec_n$n1":${"%.3f".format(mN)},"median_sec_n$n4":${"%.3f".format(mN4)},"burn_eff":${"%.3f".format(bMinEff)},"normalized_eff":${"%.3f".format(normalized)}},"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"runs_n$n1":[${eN.map("%.3f".format(_)).mkString(",")}],"runs_n$n4":[${eN4.map("%.3f".format(_)).mkString(",")}],"burn_runs_n$n1":[${bN.map("%.3f".format(_)).mkString(",")}],"burn_runs_n$n4":[${bN4.map("%.3f".format(_)).mkString(",")}]}""")
+        s"""{"metric":"scaling efficiency N->4N","value":${"%.3f".format(minEff)},"unit":"ratio","queries":{"docs_per_sec_n$n1":${"%.1f".format(nDocs / eN.min)},"docs_per_sec_n$n4":${"%.1f".format(nDocs / eN4.min)},"median_eff":${"%.3f".format(eff)},"median_sec_n$n1":${"%.3f".format(mN)},"median_sec_n$n4":${"%.3f".format(mN4)},"burn_eff":${"%.3f".format(bMinEff)},"normalized_eff":${"%.3f".format(normalized)}},"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"runs_n$n1":[${eN.map("%.3f".format(_)).mkString(",")}],"runs_n$n4":[${eN4.map("%.3f".format(_)).mkString(",")}],"burn_runs_n$n1":[${bN.map("%.3f".format(_)).mkString(",")}],"burn_runs_n$n4":[${bN4.map("%.3f".format(_)).mkString(",")}],"paired_eff":[${paired.map("%.3f".format(_)).mkString(",")}],"burn_paired_eff":[${burnPaired.map("%.3f".format(_)).mkString(",")}]}""")
       return
     }
 
