@@ -157,16 +157,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // S5/S7 through the DataSourceV2: docs written as .geomedea shards
-    // (5 latitude bands -> distinct file extents), read back via
-    // spark.read.format("geomedea") with a WHERE that the source turns
-    // into planning-time file pruning (R-tree root bounds) + page-pruned
-    // indexed reads — the reference's select_bbox (reader.rs:313-346)
-    // driven by ordinary Catalyst filters
+    // S5/S7 through the DataSourceV2, BOTH directions: docs written as
+    // .geomedea shards by the DISTRIBUTED v2 writer (one executor-side
+    // shard per latitude-band partition -> distinct file extents), read
+    // back via spark.read.format("geomedea") with a WHERE that the
+    // source turns into planning-time file pruning (R-tree root bounds)
+    // + page-pruned indexed reads — the reference's select_bbox
+    // (reader.rs:313-346) driven by ordinary Catalyst filters
     "q16_dsv2_bbox" -> ((s, dir) => {
       import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft_dsv2").toString
-      val g = geo(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_dsv2").toString + "/shards"
+      geo(s, dir)
         .select(col("wkb"), col("doc_id"),
           floor((col("lat").cast("bigint") + 900000000L) / 450000000L).cast("int").as("band"))
         .as[(Array[Byte], String, Int)]
@@ -175,13 +176,28 @@ object SparkEntry {
             "doc", graft.codec.FeatureCodec.PString(id))), band)
         }
         .toDF("wkb", "props", "band")
-      (0 to 4).foreach { band =>
-        graft.sources.GeomedeaSpark.write(
-          g.where(col("band") === band), s"$out/band$band.geomedea", compressed = true)
-      }
+        .repartitionByRange(5, col("band"))
+        .write.format("geomedea").mode("append").save(out)
       s.read.format("geomedea").load(out)
         .where(col("max_lng") >= QueryRect.minLng && col("max_lat") >= QueryRect.minLat &&
           col("min_lng") <= QueryRect.maxLng && col("min_lat") <= QueryRect.maxLat)
+        .select(element_at(col("prop_vals"), 1).as("doc_id"),
+          col("min_lng").cast("long").as("lng"), col("min_lat").cast("long").as("lat"))
+        .orderBy("doc_id")
+    }),
+
+    // CSV any-direction bridge in the gate: engine frame -> CSV files
+    // (geometry WKT + property columns, geozero CsvWriter shape) -> read
+    // back -> parse WKT -> envelope ints. Exact because WKT formatting
+    // and parsing are a proven fixpoint (q14).
+    "q17_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/csv"
+      val frame = geo(s, dir).select(col("wkb"),
+        array(lit("doc")).as("prop_keys"), array(col("doc_id")).as("prop_vals"))
+      graft.sources.GeoJsonIngest.toCsvFrame(frame)
+        .write.option("header", true).csv(out)
+      graft.sources.GeoJsonIngest.fromCsvFrame(
+          s.read.option("header", true).csv(out))
         .select(element_at(col("prop_vals"), 1).as("doc_id"),
           col("min_lng").cast("long").as("lng"), col("min_lat").cast("long").as("lat"))
         .orderBy("doc_id")
@@ -423,6 +439,9 @@ object SparkEntry {
       s"""WITH $P SELECT doc_id, lng, lat FROM pts
          |WHERE lng BETWEEN -1183000000 AND -1170000000 AND lat BETWEEN 335000000 AND 345000000
          |ORDER BY doc_id""".stripMargin,
+
+    "q17_csv_roundtrip" ->
+      s"""WITH $P SELECT doc_id, lng, lat FROM pts ORDER BY doc_id""".stripMargin,
 
     "q15_join_range" ->
       s"""WITH $P, $R SELECT r.poly_id, p.doc_id FROM pts p JOIN rects r
