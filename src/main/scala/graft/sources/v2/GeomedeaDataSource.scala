@@ -184,17 +184,20 @@ class GeomedeaScanBuilder(path: String)
 }
 
 class GeomedeaScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
-                   required: StructType) extends Scan with Batch {
+                   required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GeomedeaScan path=$path bbox=${bbox.getOrElse("all")} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
-  /** One partition per file; with a pushed bbox, files whose root bounds
-    * miss the rect are pruned HERE (45-byte header read per file, driver).
+  /** Surviving files with their byte length and header feature count:
+    * one 45-byte head read per file at planning (the format's analog of
+    * a parquet footer read); with a pushed bbox, files whose R-tree ROOT
+    * bounds miss the rect are dropped here and never become partitions.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val keptFiles: Seq[(String, Long, Long)] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -203,17 +206,34 @@ class GeomedeaScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
       if (st.isDirectory)
         fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".geomedea"))
       else Seq(st)
-    val kept = bbox match {
-      case None => files
-      case Some(q) =>
-        files.filter { s =>
-          val in = fs.open(s.getPath)
-          val head = new Array[Byte](math.min(GeomedeaTable.HeadBytes.toLong, s.getLen).toInt)
-          try in.readFully(0, head) finally in.close()
-          GeomedeaTable.fileExtent(head).exists(_.intersects(q))
-        }
+    files.flatMap { s =>
+      val in = fs.open(s.getPath)
+      val head = new Array[Byte](math.min(GeomedeaTable.HeadBytes.toLong, s.getLen).toInt)
+      try in.readFully(0, head) finally in.close()
+      val count = graft.codec.FeatureCodec.decodeHeader(
+        new graft.codec.FeatureCodec.R(head))._3
+      val keep = bbox match {
+        case None    => true
+        case Some(q) => GeomedeaTable.fileExtent(head).exists(_.intersects(q))
+      }
+      if (keep) Some((s.getPath.toString, s.getLen, count)) else None
     }
-    kept.map(s => GeomedeaPartition(s.getPath.toString): InputPartition).toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles.map(f => GeomedeaPartition(f._1): InputPartition).toArray
+
+  /** True statistics from the headers — Catalyst's join-side sizing (e.g.
+    * auto-broadcast of a small geomedea table) sees real numbers, not a
+    * default-huge relation. With a bbox pushed, rows/bytes are the kept
+    * files' totals: a safe upper bound of what the page-pruned read
+    * returns.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(keptFiles.map(_._2).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(keptFiles.map(_._3).sum)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

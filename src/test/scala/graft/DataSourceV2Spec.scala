@@ -145,6 +145,23 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(packed == 1, s"zero open cost + 1-partition floor must pack all files, got $packed")
   }
 
+  test("scan reports true header statistics (rows/bytes) to Catalyst") {
+    val df = spark.read.format("geomedea").load(shardDir)
+    val full = scanOf(df).estimateStatistics()
+    assert(full.numRows().getAsLong == 80)
+    assert(full.sizeInBytes().getAsLong ==
+      new java.io.File(shardDir).listFiles.filter(_.getName.endsWith(".geomedea"))
+        .map(_.length).sum)
+    // bbox narrows the estimate to the surviving shard's totals
+    val east = scanOf(bboxWhere(df, Envelope.fromDegrees(100, 0, 110, 10)))
+      .estimateStatistics()
+    assert(east.numRows().getAsLong == 40)
+    // and Catalyst's plan-level stats see the scan's sizeInBytes (not a
+    // default-huge relation), so broadcast decisions are informed
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(planBytes > 0 && planBytes < 10L * 1024 * 1024, planBytes)
+  }
+
   test("distributed write: one executor-side shard per partition, roundtrip + overwrite") {
     val src = spark.read.format("geomedea").load(shardDir)
     val out = java.nio.file.Files.createTempDirectory("gm_wr").toString + "/out"
