@@ -100,6 +100,18 @@ object SparkEntry {
         .orderBy("tile_id")
     }),
 
+    // vector tiles on the SCALE path itself (bucketed sub-tiles — the
+    // hot tile spreads over buckets, every payload bounded; q09 gates
+    // the combined per-tile view). Bucket key = numeric doc id % 8 so
+    // the DuckDB oracle replays the bucketing arithmetically.
+    "q18_tile_vector_scale" -> ((s, dir) => {
+      Tiles.vectorBy(geo(s, dir), zoom = 3,
+          pmod(substring(col("doc_id"), 5, 9).cast("long"), lit(8L)))
+        .select(col("tile_id"), col("bucket").cast("long").as("bucket"), col("n"),
+          array_join(col("doc_ids"), ",").as("doc_ids"))
+        .orderBy("tile_id", "bucket")
+    }),
+
     // cell cover of build-side polygons (H3/S2 analog generator)
     "q10_cell_cover" -> ((s, dir) => {
       InterleavedDocs.nationRects(s, dir)
@@ -411,6 +423,12 @@ object SparkEntry {
       s"""WITH $P SELECT ((lng + 1800000000) // 450000000) * 8 + ((lat + 900000000) // 225000000) AS tile_id,
          |count(*) AS n, string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
          |FROM pts GROUP BY 1 ORDER BY tile_id""".stripMargin,
+
+    "q18_tile_vector_scale" ->
+      s"""WITH $P SELECT ((lng + 1800000000) // 450000000) * 8 + ((lat + 900000000) // 225000000) AS tile_id,
+         |CAST(substr(doc_id, 5) AS BIGINT) % 8 AS bucket, count(*) AS n,
+         |string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+         |FROM pts GROUP BY 1, 2 ORDER BY tile_id, bucket""".stripMargin,
 
     "q10_cell_cover" ->
       s"""WITH $R SELECT r.poly_id, cx.range * 16 + cy.range AS cell_id

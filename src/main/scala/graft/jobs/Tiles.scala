@@ -37,9 +37,16 @@ object Tiles {
     * collect_list(struct(doc_id, spans, wkb)).
     */
   def vector(docsGeo: DataFrame, zoom: Int, buckets: Int = DefaultBuckets): DataFrame =
+    vectorBy(docsGeo, zoom, pmod(xxhash64(col("doc_id")), lit(buckets.toLong)))
+
+  /** [[vector]] with an explicit bucket key — same scale shape, caller
+    * picks the spread function (xxhash64 default; an arithmetic key makes
+    * the bucketing independently replayable by a SQL oracle).
+    */
+  def vectorBy(docsGeo: DataFrame, zoom: Int, bucket: org.apache.spark.sql.Column): DataFrame =
     docsGeo
       .withColumn("tile_id", gmTile(col("lng"), col("lat"), zoom))
-      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets.toLong)))
+      .withColumn("bucket", bucket)
       .groupBy("tile_id", "bucket")
       .agg(
         count(lit(1)).as("n"),
