@@ -104,8 +104,8 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs (>= threshold): candidates from a
-    * shared-shingle equi-join over DF-capped shingles (hot shingles are
-    * few by definition and broadcast anti-joined away), then exact Jaccard
+    * shared-shingle equi-join over DF-capped shingles (hot shingles
+    * anti-joined away), then exact Jaccard
     * on the candidate pairs only. Cost proportional to capped collisions +
     * |candidates|, never |corpus|^2.
     */
@@ -119,14 +119,16 @@ object Dedup {
       .select(col("doc_id"), col("szb"), col("sh"))
     // hot (shingle, bucket) anchors stay DISTRIBUTED (|shingles|/maxDf is
     // data-dependent and can be 10^7+ at corpus scale — never a driver
-    // collect); persist so the two broadcast joins below don't each
-    // re-run the full explode+aggregate, and let the join layer ship it
+    // collect and never a FORCED broadcast, which would re-materialize
+    // that data-dependent size on the driver; persist so the two joins
+    // below don't each re-run the full explode+aggregate, and let AQE
+    // pick broadcast vs shuffle from the hot set's actual size)
     val hot = sh.groupBy("sh", "szb")
       .agg(count(lit(1)).as("df"), min("doc_id").as("anchor"))
       .where(col("df") > maxShingleDf)
       .select("sh", "szb", "anchor")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = sh.join(broadcast(hot.select("sh", "szb")), Seq("sh", "szb"), "left_anti")
+    val capped = sh.join(hot.select("sh", "szb"), Seq("sh", "szb"), "left_anti")
     val a = capped.as("a"); val b = capped.as("b")
     val rarePairs = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -139,7 +141,7 @@ object Dedup {
     // greatest keeps the (id_a < id_b) pair orientation for cross-bucket
     // anchors, whose doc_id need not exceed the other bucket's anchor.
     val hotAdj = hot.unionByName(hot.withColumn("szb", col("szb") + 1))
-    val anchorPairs = sh.join(broadcast(hotAdj), Seq("sh", "szb"))
+    val anchorPairs = sh.join(hotAdj, Seq("sh", "szb"))
       .where(col("doc_id") =!= col("anchor"))
       .select(least(col("anchor"), col("doc_id")).as("id_a"),
         greatest(col("anchor"), col("doc_id")).as("id_b"))

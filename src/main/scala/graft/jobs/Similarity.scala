@@ -105,6 +105,10 @@ object Similarity {
     */
   def trainSample(embeddings: DataFrame, sampleEvery: Int, maxTrainRows: Int): Array[Array[Double]] =
     embeddings.where(xxhash64(col("vec_id")) % sampleEvery === 0)
+      // orderBy(hash) + limit plans TakeOrdered (per-partition bounded
+      // top-k, then one merge of <= maxTrainRows rows): the sample is
+      // DETERMINISTIC at any parallelism/file order, not just capped
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(maxTrainRows)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
