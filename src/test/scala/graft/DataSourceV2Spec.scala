@@ -187,6 +187,44 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(one.length == 80)
   }
 
+  test("all 7 geometry types + empties + holes + typed vec/map roundtrip write->read") {
+    import graft.codec.FeatureCodec._
+    def pk(x: Int, y: Int) = Wkb.pack(x, y)
+    val outer = Array(pk(0, 0), pk(100, 0), pk(100, 100), pk(0, 100), pk(0, 0))
+    val hole = Array(pk(40, 40), pk(60, 40), pk(60, 60), pk(40, 60), pk(40, 40))
+    val geoms: Seq[Wkb.Geom] = Seq(
+      Wkb.Pt(15000000, -25000000),
+      Wkb.Line(Array(pk(0, 0), pk(10, 10), pk(-10, 5))),
+      Wkb.Line(Array.empty),
+      Wkb.Poly(Vector(outer, hole)),
+      Wkb.Poly(Vector.empty),
+      Wkb.MultiPt(Array(pk(1, 1), pk(2, 2))),
+      Wkb.MultiLine(Vector(Array(pk(0, 0), pk(5, 5)), Array.empty)),
+      Wkb.MultiPoly(Vector(Vector(outer), Vector.empty)),
+      Wkb.Collection(Vector(Wkb.Pt(7, 7), Wkb.Line(Array(pk(1, 0), pk(0, 1))))))
+    val feats = geoms.zipWithIndex.map { case (g, i) =>
+      Feature(g, Vector(
+        "i" -> PInt64(i.toLong),
+        "v" -> PVec(Vector(PBool(i % 2 == 0), PString(s"elem$i"))),
+        "m" -> PMap(Vector("z" -> PFloat64(i * 0.5), "a" -> PUInt64(-1L)))))
+    }
+    val s = spark
+    import s.implicits._
+    val df = feats.map(f => (Wkb.write(f.geom),
+        f.props.map { case (k, v) => graft.sources.GeoJsonIngest.toCell(k, v) }))
+      .toDF("wkb", "props")
+    val out = java.nio.file.Files.createTempDirectory("gm_geoms").toString + "/g"
+    df.repartition(3).write.format("geomedea").mode("append").save(out)
+    val back = spark.read.format("geomedea").load(out)
+      .select("wkb", "props").as[(Array[Byte], Seq[graft.sources.GeoJsonIngest.PropCell])]
+      .collect()
+      .map { case (wkb, cells) =>
+        (Wkb.asText(Wkb.read(wkb)), cells.map(graft.sources.GeoJsonIngest.fromCell).toVector)
+      }.toSet
+    val expect = feats.map(f => (Wkb.asText(f.geom), f.props)).toSet
+    assert(back == expect)
+  }
+
   test("typed props survive the v2 reader (same cells as the bridge)") {
     val df = spark.read.format("geomedea").load(s"$shardDir/west.geomedea")
     val cells = df.orderBy("page_offset", "feature_offset")
