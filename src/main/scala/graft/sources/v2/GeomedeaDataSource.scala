@@ -206,18 +206,33 @@ class GeomedeaScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
       if (st.isDirectory)
         fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".geomedea"))
       else Seq(st)
-    files.flatMap { s =>
-      val in = fs.open(s.getPath)
-      val head = new Array[Byte](math.min(GeomedeaTable.HeadBytes.toLong, s.getLen).toInt)
-      try in.readFully(0, head) finally in.close()
-      val count = graft.codec.FeatureCodec.decodeHeader(
-        new graft.codec.FeatureCodec.R(head))._3
-      val keep = bbox match {
-        case None    => true
-        case Some(q) => GeomedeaTable.fileExtent(head).exists(_.intersects(q))
+    // header reads fan out on a bounded pool: a 100k-shard lake is 100k
+    // tiny range reads, and serial object-store round trips would make
+    // PLANNING the bottleneck (Spark's own parquet footer reads use the
+    // same trick). Results re-sorted by path for deterministic planning.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(32, files.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = files.map { s =>
+        scala.concurrent.Future {
+          val in = fs.open(s.getPath)
+          val head = new Array[Byte](math.min(GeomedeaTable.HeadBytes.toLong, s.getLen).toInt)
+          try in.readFully(0, head) finally in.close()
+          val count = graft.codec.FeatureCodec.decodeHeader(
+            new graft.codec.FeatureCodec.R(head))._3
+          val keep = bbox match {
+            case None    => true
+            case Some(q) => GeomedeaTable.fileExtent(head).exists(_.intersects(q))
+          }
+          if (keep) Some((s.getPath.toString, s.getLen, count)) else None
+        }
       }
-      if (keep) Some((s.getPath.toString, s.getLen, count)) else None
-    }
+      scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration(10, "min"))
+        .flatten.sortBy(_._1)
+    } finally pool.shutdown()
   }
 
   override def planInputPartitions(): Array[InputPartition] =
