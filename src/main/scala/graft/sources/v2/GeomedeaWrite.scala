@@ -51,8 +51,13 @@ class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
+  // job-unique shard prefix: task ids RESTART across Spark sessions, so
+  // part-<pid>-<taskId> names from two append jobs could collide and
+  // fail the publish rename; a per-job token makes appends always safe
+  private val jobToken = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GeomedeaWriterFactory(path, schema, compressed, conf)
+    new GeomedeaWriterFactory(path, schema, compressed, conf, jobToken)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -79,7 +84,8 @@ class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
 }
 
 class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolean,
-                            conf: SerializableConfiguration) extends DataWriterFactory {
+                            conf: SerializableConfiguration, jobToken: String)
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -105,7 +111,7 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
       }
 
       override def commit(): WriterCommitMessage = {
-        val fin = f"part-$partitionId%05d-$taskId.geomedea"
+        val fin = f"part-$jobToken-$partitionId%05d-$taskId.geomedea"
         // tmp suffix must NOT be .geomedea: truncate and reader globs
         // select on that suffix and must never see in-flight shards
         val tmp = s"_tmp_$fin.tmp"

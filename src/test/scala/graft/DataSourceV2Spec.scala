@@ -176,6 +176,12 @@ class DataSourceV2Spec extends AnyFunSuite {
     def key(d: DataFrame) = d.select(hex(col("wkb")), col("prop_vals").cast("string"))
       .collect().map(_.toSeq.mkString("|")).sorted.toSeq
     assert(key(back) == key(src))
+    // a SECOND append job (fresh job token) must never collide with the
+    // first job's shard names — appends accumulate
+    src.select("wkb", "props").repartition(1)
+      .write.format("geomedea").mode("append").save(out)
+    assert(shards.length == 3, shards)
+    assert(spark.read.format("geomedea").load(out).count() == 160)
     // extra columns are ignored; overwrite truncates previous shards
     src.select(col("wkb"), col("props"), col("min_lng").as("junk")).repartition(1)
       .write.format("geomedea").mode("overwrite").save(out)
