@@ -158,7 +158,10 @@ object GeoJsonIngest {
     * partition).
     */
   def toCsvFrame(df: DataFrame): DataFrame = {
-    val keys = df.select("prop_keys").head().getSeq[String](0)
+    // empty input -> geometry-only header (geozero emits headers from
+    // the first feature; with none, only the geometry column exists)
+    val keys = df.select("prop_keys").take(1).headOption
+      .map(_.getSeq[String](0)).getOrElse(Seq.empty)
     val byKey = map_from_arrays(col("prop_keys"), col("prop_vals"))
     df.select(stAsText(col("wkb")).as("geometry") +:
       keys.map(k => element_at(byKey, k).as(k)): _*)
@@ -181,6 +184,7 @@ object GeoJsonIngest {
     require(geomIdx >= 0, s"CSV import needs a geometry WKT column; got ${cols.mkString(",")}")
     val propCols = cols.zipWithIndex.filter(_._1 != "geometry")
     val parsed = df.map { row =>
+      require(!row.isNullAt(geomIdx), "CSV row with empty geometry cell")
       val wkb = graft.geom.Wkb.write(graft.geom.Wkt.parse(row.getString(geomIdx)))
       val props = propCols.toSeq.collect {
         case (name, i) if !row.isNullAt(i) => name -> row.get(i).toString
