@@ -243,9 +243,19 @@ object Bench {
     // ingest reads an existing table, so the scan is part of the cost.
     // 3 runs to fresh dirs (round 2 timed it ONCE and a single slow window
     // became the official record); the last dir feeds the pruned scan.
+    def rmTree(dir: String): Unit =
+      try {
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
     var outDir = ""
     val rIngest = Array.fill(3)(0.0)
     for (i <- 0 until 3) {
+      // fresh dir per run; delete the superseded copy immediately — three
+      // full zstd copies of the table would pressure the bench disk and
+      // slow the later timed queries
+      if (outDir.nonEmpty) rmTree(outDir)
       outDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
       rIngest(i) = time {
         Ingest.write(InterleavedDocs.withGeometry(docsTable), outDir, numPartitions = cpus)

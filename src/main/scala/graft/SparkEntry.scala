@@ -105,8 +105,11 @@ object SparkEntry {
     // the combined per-tile view). Bucket key = numeric doc id % 8 so
     // the DuckDB oracle replays the bucketing arithmetically.
     "q18_tile_vector_scale" -> ((s, dir) => {
+      // substring length 16, not 9: doc-%09d widens past 9 digits at
+      // nDocs >= 1e9 and the DuckDB oracle's substr(doc_id, 5) is
+      // unbounded — the two must agree at every scale
       Tiles.vectorBy(geo(s, dir), zoom = 3,
-          pmod(substring(col("doc_id"), 5, 9).cast("long"), lit(8L)))
+          pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(8L)))
         .select(col("tile_id"), col("bucket").cast("long").as("bucket"), col("n"),
           array_join(col("doc_ids"), ",").as("doc_ids"))
         .orderBy("tile_id", "bucket")

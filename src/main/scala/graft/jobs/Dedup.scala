@@ -70,9 +70,9 @@ object Dedup {
     * lands in a different bucket and cannot become the cluster's anchor
     * and fail verification on its behalf). Because a qualifying pair CAN
     * straddle one log2 boundary (the ratio bound, not the bucket, is what
-    * Jaccard guarantees), each bucket's anchor also stars into the next
-    * bucket up, bridging adjacent buckets even when every shared shingle
-    * is hot in both.
+    * Jaccard guarantees), each bucket's anchor also stars into BOTH
+    * adjacent buckets, bridging the boundary regardless of which side
+    * the shingle is hot on.
     *
     * Semantics with the cap active: exact pair list for pairs sharing at
     * least one rare shingle; hot-shingle-only duplicates are recovered as
@@ -120,27 +120,34 @@ object Dedup {
     // hot (shingle, bucket) anchors stay DISTRIBUTED (|shingles|/maxDf is
     // data-dependent and can be 10^7+ at corpus scale — never a driver
     // collect and never a FORCED broadcast, which would re-materialize
-    // that data-dependent size on the driver; persist so the two joins
-    // below don't each re-run the full explode+aggregate, and let AQE
-    // pick broadcast vs shuffle from the hot set's actual size)
+    // that data-dependent size on the driver. localCheckpoint (eager),
+    // not persist: the two joins below reuse the materialized blocks
+    // without re-running the full explode+aggregate, AND the blocks are
+    // ContextCleaner-managed (freed on GC) — a CacheManager persist with
+    // no unpersist would leak session cache on every call. AQE picks
+    // broadcast vs shuffle from the hot set's actual size.
     val hot = sh.groupBy("sh", "szb")
       .agg(count(lit(1)).as("df"), min("doc_id").as("anchor"))
       .where(col("df") > maxShingleDf)
       .select("sh", "szb", "anchor")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val capped = sh.join(hot.select("sh", "szb"), Seq("sh", "szb"), "left_anti")
     val a = capped.as("a"); val b = capped.as("b")
     val rarePairs = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     // anchor-star pairs per (hot shingle, size bucket): O(df) rows, keeps
     // the mass-dup cluster connected through one of ITS OWN members. Each
-    // hot (sh, szb) anchor ALSO reaches docs in the adjacent bucket szb+1
-    // (Jaccard >= t only bounds the size RATIO, so a genuine near-dup pair
-    // can straddle a log2 boundary; the +1-shifted anchor row bridges the
-    // two buckets even when the shared shingles are hot in both). least/
+    // hot (sh, szb) anchor ALSO reaches docs in BOTH adjacent buckets
+    // szb±1 (Jaccard >= t only bounds the size RATIO, so a genuine
+    // near-dup pair can straddle a log2 boundary, and the shared shingle
+    // may be hot on EITHER side alone: a hot pile in the upper bucket
+    // must still reach a rare-side near-dup in the lower bucket, and vice
+    // versa — up-shift alone covers only half the straddle cases). least/
     // greatest keeps the (id_a < id_b) pair orientation for cross-bucket
     // anchors, whose doc_id need not exceed the other bucket's anchor.
-    val hotAdj = hot.unionByName(hot.withColumn("szb", col("szb") + 1))
+    val hotAdj = hot
+      .unionByName(hot.withColumn("szb", col("szb") + 1))
+      .unionByName(hot.withColumn("szb", col("szb") - 1))
     val anchorPairs = sh.join(hotAdj, Seq("sh", "szb"))
       .where(col("doc_id") =!= col("anchor"))
       .select(least(col("anchor"), col("doc_id")).as("id_a"),

@@ -104,9 +104,15 @@ class GeomedeaTable(path: String, tableSchema: StructType = GeomedeaTable.Schema
   }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
   : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(info.schema().fieldNames.contains("wkb") &&
-      info.schema().fieldNames.contains("props"),
-      s"geomedea write needs wkb + props columns; got ${info.schema().fieldNames.mkString(",")}")
+    val s = info.schema()
+    require(s.fieldNames.contains("wkb") && s.fieldNames.contains("props"),
+      s"geomedea write needs wkb + props columns; got ${s.fieldNames.mkString(",")}")
+    // fail structurally-wrong props at PLANNING (a clean driver error),
+    // not as a retried task failure on the cluster
+    val expected = GeomedeaTable.Schema("props").dataType.catalogString
+    require(s(s.fieldIndex("props")).dataType.catalogString == expected,
+      s"props column must be array<PropCell> ($expected); " +
+        s"got ${s(s.fieldIndex("props")).dataType.catalogString}")
     new GeomedeaWriteBuilder(path, info)
   }
 }

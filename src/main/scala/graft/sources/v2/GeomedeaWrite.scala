@@ -94,14 +94,19 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
       private val propsType = schema(propsIdx).dataType
       // deserialize through the SAME encoder shape the reader serializes
       // with — PropCell field order/names are part of the bridge
-      // contract, so reject a structurally different props column up
-      // front instead of silently misreading ordinals
+      // contract (validated at the driver in newWriteBuilder; re-checked
+      // here cheaply in case of schema drift)
       private val enc = ExpressionEncoder[GeomedeaWriterFactory.WRow]()
       require(propsType.catalogString == enc.schema(1).dataType.catalogString,
         s"props column must be array<PropCell> (${enc.schema(1).dataType.catalogString}); " +
           s"got ${propsType.catalogString}")
       private val deser = enc.resolveAndBind().createDeserializer()
       private val feats = Vector.newBuilder[Feature]
+      private val fin = f"part-$jobToken-$partitionId%05d-$taskId.geomedea"
+      // tmp suffix must NOT be .geomedea: truncate and reader globs
+      // select on that suffix and must never see in-flight shards
+      private val tmp = s"_tmp_$fin.tmp"
+      private var wroteTmp = false
 
       override def write(record: InternalRow): Unit = {
         val w = deser(new GenericInternalRow(Array[Any](
@@ -111,10 +116,6 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
       }
 
       override def commit(): WriterCommitMessage = {
-        val fin = f"part-$jobToken-$partitionId%05d-$taskId.geomedea"
-        // tmp suffix must NOT be .geomedea: truncate and reader globs
-        // select on that suffix and must never see in-flight shards
-        val tmp = s"_tmp_$fin.tmp"
         val bytes = GeomedeaFile.write(feats.result(), compressed,
           GeomedeaFile.DefaultPageSizeGoal)
         require(bytes.length <= graft.sources.GeomedeaSpark.MaxFileBytes,
@@ -123,12 +124,23 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
         val dir = new Path(path)
         val fs = dir.getFileSystem(conf.value)
         fs.mkdirs(dir)
+        wroteTmp = true
         val out = fs.create(new Path(dir, tmp), true)
         try out.write(bytes) finally out.close()
         GeomedeaCommit(tmp, fin)
       }
 
-      override def abort(): Unit = ()
+      /** Task-level abort: remove this task's own tmp shard (a commit
+        * that failed mid-write would otherwise orphan it forever — the
+        * job-level abort only sees tmp names that made it into commit
+        * messages, and tmp names never collide with a retry's).
+        */
+      override def abort(): Unit =
+        if (wroteTmp) {
+          val dir = new Path(path)
+          try dir.getFileSystem(conf.value).delete(new Path(dir, tmp), false)
+          catch { case _: java.io.IOException => () }
+        }
       override def close(): Unit = ()
     }
 }

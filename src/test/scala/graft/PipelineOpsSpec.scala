@@ -103,6 +103,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     // and the within-bucket stars are still there
     assert((2 to 10).forall(i => got.contains((1L, i.toLong))))
     assert((12 to 20).forall(i => got.contains((11L, i.toLong))))
+
+    // MIRROR case: the hot pile sits only in the UPPER bucket and the
+    // lone near-dup doc below it has rare shingle rows — rarePairs can't
+    // form the pair (the pile side is anti-joined away), so only the
+    // DOWN-shifted anchor row can bridge it
+    val docs2 = (Seq((1L, a)) ++ (11 to 20).map(i => (i.toLong, b)))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.ngramJaccard(docs2, 8000, maxShingleDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.contains((1L, 11L)), got2.toSeq.sorted)
+    assert((12 to 20).forall(i => got2.contains((11L, i.toLong))))
   }
 
   test("minhash LSH (verified) is a subset of true jaccard pairs and recovers injected dups") {
