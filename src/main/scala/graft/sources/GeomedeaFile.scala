@@ -136,6 +136,43 @@ object GeomedeaFile {
     out.result()
   }
 
+  /** Limited full scan (limit-pushdown path): decode pages ONLY until
+    * `n` features have been read — the remaining pages are never
+    * decompressed. Returns located features plus decode accounting.
+    */
+  final case class LimitedRead(features: Vector[((Long, Int), Feature)],
+                               pagesDecoded: Long, totalPages: Long,
+                               bytesDecoded: Long)
+
+  def selectLimitLocated(bytes: Array[Byte], n: Int): LimitedRead = {
+    val r = new R(bytes)
+    val (compressed, pageCount, featureCount) = FeatureCodec.decodeHeader(r)
+    r.take((PackedRTree.nodeCount(featureCount) * PackedRTree.NodeBytes).toInt)
+    val sectionStart = r.pos
+    var pageStart = 0L
+    val out = Vector.newBuilder[((Long, Int), Feature)]
+    var taken = 0
+    var pages = 0L
+    var pi = 0L
+    while (pi < pageCount && taken < n) {
+      val before = r.pos
+      val (body, count) = decodePage(r, compressed)
+      pages += 1
+      val pr = new R(body)
+      var i = 0L
+      while (i < count && taken < n) {
+        val featOff = pr.pos
+        val len = pr.u64().toInt
+        out += (((pageStart, featOff), FeatureCodec.decodeFeature(pr.take(len))))
+        taken += 1
+        i += 1
+      }
+      pageStart += (r.pos - before).toLong
+      pi += 1
+    }
+    LimitedRead(out.result(), pages, pageCount, (r.pos - sectionStart).toLong)
+  }
+
   /** Read accounting for the indexed scan — the analog of the
     * reference's request/byte counting (`CountingReader`, and the README
     * measurement "153 requests, 81,175,859 bytes"): each fetched page is

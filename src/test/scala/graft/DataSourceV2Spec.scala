@@ -145,6 +145,37 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(packed == 1, s"zero open cost + 1-partition floor must pack all files, got $packed")
   }
 
+  test("limit pushdown: plans only enough files, decodes only enough pages, reports metrics") {
+    val df = spark.read.format("geomedea").load(shardDir).limit(10)
+    assert(df.count() == 10)
+    val scan = scanOf(df)
+    assert(scan.description().contains("limit=10"), scan.description())
+    // file planning: 10 rows fit in the first shard (40 features) — only
+    // one partition planned instead of three
+    assert(scan.toBatch.planInputPartitions().length == 1)
+    // reader-level early stop: drive a reader directly and check the
+    // task metrics — with pageSizeGoal=256 the shard holds many pages,
+    // and a limit of 3 must decode only a prefix of them
+    val parts = scan.toBatch.planInputPartitions()
+    val reader = scan.toBatch.createReaderFactory().createReader(parts.head)
+    var n = 0
+    while (reader.next()) n += 1
+    assert(n <= 10 && n > 0)
+    val metrics = reader.currentMetricsValues().map(m => m.name() -> m.value()).toMap
+    assert(metrics("rowsDecoded") == n)
+    val totalPages = {
+      val f = new java.io.File(shardDir).listFiles
+        .filter(_.getName.endsWith(".geomedea")).minBy(_.getName)
+      GeomedeaFile.header(java.nio.file.Files.readAllBytes(f.toPath))._2
+    }
+    assert(metrics("pagesDecoded") < totalPages,
+      s"limit must stop decoding early: ${metrics("pagesDecoded")} of $totalPages pages")
+    assert(metrics("bytesDecoded") > 0)
+    // supported metric names line up with what readers emit
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
+      Set("pagesDecoded", "bytesDecoded", "rowsDecoded"))
+  }
+
   test("scan reports true header statistics (rows/bytes) to Catalyst") {
     val df = spark.read.format("geomedea").load(shardDir)
     val full = scanOf(df).estimateStatistics()
