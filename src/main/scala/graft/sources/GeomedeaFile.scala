@@ -144,20 +144,33 @@ object GeomedeaFile {
                                pagesDecoded: Long, totalPages: Long,
                                bytesDecoded: Long)
 
-  def selectLimitLocated(bytes: Array[Byte], n: Int): LimitedRead = {
-    val r = new R(bytes)
-    val (compressed, pageCount, featureCount) = FeatureCodec.decodeHeader(r)
-    r.take((PackedRTree.nodeCount(featureCount) * PackedRTree.NodeBytes).toInt)
-    val sectionStart = r.pos
+  /** Range-read limited scan: `readRange(offset, len)` is the only I/O
+    * primitive (positioned read — FSDataInputStream.readFully or an HTTP
+    * range request), and the TRANSFER is bounded too: exactly the 17-byte
+    * header plus each needed page's 12-byte page header + encoded body,
+    * never the R-tree index or the remaining pages. The partial-download
+    * twin of the reference's HTTP reader, applied to LIMIT — and it works
+    * on files of ANY size (nothing ever materializes the whole file).
+    */
+  def selectLimitRange(readRange: (Long, Int) => Array[Byte], n: Int): LimitedRead = {
+    val hr = new R(readRange(0, FeatureCodec.HeaderBytes))
+    val (compressed, pageCount, featureCount) = FeatureCodec.decodeHeader(hr)
+    var pos = FeatureCodec.HeaderBytes.toLong +
+      PackedRTree.nodeCount(featureCount) * PackedRTree.NodeBytes
     var pageStart = 0L
+    var bytesRead = 0L
     val out = Vector.newBuilder[((Long, Int), Feature)]
     var taken = 0
     var pages = 0L
     var pi = 0L
     while (pi < pageCount && taken < n) {
-      val before = r.pos
-      val (body, count) = decodePage(r, compressed)
+      val ph = new R(readRange(pos, FeatureCodec.PageHeaderBytes))
+      val (encLen, decLen, count) = FeatureCodec.decodePageHeader(ph)
+      val enc = readRange(pos + FeatureCodec.PageHeaderBytes, encLen.toInt)
+      val body =
+        if (compressed) com.github.luben.zstd.Zstd.decompress(enc, decLen.toInt) else enc
       pages += 1
+      bytesRead += FeatureCodec.PageHeaderBytes + encLen
       val pr = new R(body)
       var i = 0L
       while (i < count && taken < n) {
@@ -167,10 +180,12 @@ object GeomedeaFile {
         taken += 1
         i += 1
       }
-      pageStart += (r.pos - before).toLong
+      val pageBytes = FeatureCodec.PageHeaderBytes + encLen
+      pos += pageBytes
+      pageStart += pageBytes
       pi += 1
     }
-    LimitedRead(out.result(), pages, pageCount, (r.pos - sectionStart).toLong)
+    LimitedRead(out.result(), pages, pageCount, bytesRead)
   }
 
   /** Read accounting for the indexed scan — the analog of the

@@ -326,27 +326,43 @@ class GeomedeaReaderFactory(bbox: Option[Envelope], required: StructType,
         val p = new Path(file)
         val fs = p.getFileSystem(conf.value)
         val len = fs.getFileStatus(p).getLen
-        require(len <= graft.sources.GeomedeaSpark.MaxFileBytes,
-          s"$file: $len bytes > ${graft.sources.GeomedeaSpark.MaxFileBytes}")
-        val bytes = new Array[Byte](len.toInt)
-        val in = fs.open(p)
-        try in.readFully(0, bytes) finally in.close()
+        def wholeFile(): Array[Byte] = {
+          require(len <= graft.sources.GeomedeaSpark.MaxFileBytes,
+            s"$file: $len bytes > ${graft.sources.GeomedeaSpark.MaxFileBytes}")
+          val bytes = new Array[Byte](len.toInt)
+          val in = fs.open(p)
+          try in.readFully(0, bytes) finally in.close()
+          bytes
+        }
         val feats = (bbox, limit) match {
           case (Some(q), _) => // page-pruned indexed read, with accounting
-            val read = GeomedeaFile.selectBboxCounted(bytes, q)
+            val read = GeomedeaFile.selectBboxCounted(wholeFile(), q)
             pagesDecoded = read.pagesFetched
             bytesDecoded = read.bytesFetched
             val located = read.locations.zip(read.features)
             limit.fold(located)(located.take)
-          case (None, Some(n)) => // early-stop decode: later pages untouched
-            val read = GeomedeaFile.selectLimitLocated(bytes, n)
-            pagesDecoded = read.pagesDecoded
-            bytesDecoded = read.bytesDecoded
-            read.features
+          case (None, Some(n)) =>
+            // bounded TRANSFER, not just bounded decode: positioned range
+            // reads fetch the 17-byte header + each needed page only —
+            // the R-tree index and remaining pages never leave storage,
+            // and the file size is unconstrained on this path
+            val in = fs.open(p)
+            try {
+              val read = GeomedeaFile.selectLimitRange((off, k) => {
+                val buf = new Array[Byte](k); in.readFully(off, buf); buf
+              }, n)
+              pagesDecoded = read.pagesDecoded
+              bytesDecoded = read.bytesDecoded
+              read.features
+            } finally in.close()
           case (None, None) =>
-            val (_, pageCount, _) = GeomedeaFile.header(bytes)
+            val bytes = wholeFile()
+            val hr = new graft.codec.FeatureCodec.R(bytes)
+            val (_, pageCount, featureCount) = graft.codec.FeatureCodec.decodeHeader(hr)
             pagesDecoded = pageCount
-            bytesDecoded = len
+            // page-section bytes only, consistent with the other branches
+            bytesDecoded = len - graft.codec.FeatureCodec.HeaderBytes -
+              graft.index.PackedRTree.nodeCount(featureCount) * graft.index.PackedRTree.NodeBytes
             GeomedeaFile.selectAllLocated(bytes)
         }
         rowsDecoded = feats.length.toLong

@@ -154,8 +154,9 @@ class DataSourceV2Spec extends AnyFunSuite {
     // one partition planned instead of three
     assert(scan.toBatch.planInputPartitions().length == 1)
     // reader-level early stop: drive a reader directly and check the
-    // task metrics — with pageSizeGoal=256 the shard holds many pages,
-    // and a limit of 3 must decode only a prefix of them
+    // task metrics — with pageSizeGoal=256 the 40-feature shard holds
+    // ~10 pages, and the pushed limit of 10 (~4 features/page) must
+    // range-read only a strict prefix of them
     val parts = scan.toBatch.planInputPartitions()
     val reader = scan.toBatch.createReaderFactory().createReader(parts.head)
     var n = 0
@@ -174,6 +175,22 @@ class DataSourceV2Spec extends AnyFunSuite {
     // supported metric names line up with what readers emit
     assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
       Set("pagesDecoded", "bytesDecoded", "rowsDecoded"))
+
+    // file-level: the range-read limited scan is exactly the full scan's
+    // prefix, and its transfer is header + needed pages only
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      new java.io.File(shardDir).listFiles.filter(_.getName.endsWith(".geomedea"))
+        .minBy(_.getName).toString))
+    val all = GeomedeaFile.selectAllLocated(bytes)
+    var transferred = 0L
+    val lim = GeomedeaFile.selectLimitRange((off, k) => {
+      transferred += k; bytes.slice(off.toInt, off.toInt + k)
+    }, 7)
+    assert(lim.features.map(_._1) == all.take(7).map(_._1))
+    assert(lim.features.map(f => Wkb.asText(f._2.geom)) ==
+      all.take(7).map(f => Wkb.asText(f._2.geom)))
+    assert(transferred < bytes.length / 2,
+      s"bounded transfer: $transferred of ${bytes.length} bytes")
   }
 
   test("scan reports true header statistics (rows/bytes) to Catalyst") {
