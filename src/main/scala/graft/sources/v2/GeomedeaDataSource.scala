@@ -88,6 +88,76 @@ object GeomedeaTable {
   }
 
   val HeadBytes: Int = graft.codec.FeatureCodec.HeaderBytes + graft.index.PackedRTree.NodeBytes
+
+  /** Surviving files with byte length and header feature count: one
+    * 45-byte head read per file at planning (the format's analog of a
+    * parquet footer read); with a bbox, files whose R-tree ROOT bounds
+    * miss the rect are dropped. Header reads fan out on a bounded pool —
+    * a 100k-shard lake is 100k tiny range reads, and serial object-store
+    * round trips would make PLANNING the bottleneck (Spark's own parquet
+    * footer reads use the same trick). Re-sorted by path for
+    * deterministic planning.
+    */
+  def scanFiles(path: String, bbox: Option[Envelope]): Seq[(String, Long, Long)] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".geomedea"))
+      else Seq(st)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(32, files.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = files.map { s =>
+        scala.concurrent.Future {
+          val in = fs.open(s.getPath)
+          val head = new Array[Byte](math.min(HeadBytes.toLong, s.getLen).toInt)
+          try in.readFully(0, head) finally in.close()
+          val count = graft.codec.FeatureCodec.decodeHeader(
+            new graft.codec.FeatureCodec.R(head))._3
+          val keep = bbox match {
+            case None    => true
+            case Some(q) => fileExtent(head).exists(_.intersects(q))
+          }
+          if (keep) Some((s.getPath.toString, s.getLen, count)) else None
+        }
+      }
+      scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration(10, "min"))
+        .flatten.sortBy(_._1)
+    } finally pool.shutdown()
+  }
+}
+
+/** Complete-pushdown COUNT(*): one partition, one row, computed from the
+  * same per-file header reads planning does — no page is ever
+  * decompressed, no feature decoded. The header featureCount is a format
+  * invariant the writer maintains (`writer/mod.rs` finish()).
+  */
+class GeomedeaCountScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("count",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"GeomedeaCountScan path=$path (header-only count)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GeomedeaPartition("<header-count>"))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GeomedeaCountReaderFactory(GeomedeaTable.scanFiles(path, None).map(_._3).sum)
+}
+
+final case class GeomedeaCountReaderFactory(total: Long) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](total))
+      override def close(): Unit = ()
+    }
 }
 
 class GeomedeaTable(path: String, tableSchema: StructType = GeomedeaTable.Schema)
@@ -120,7 +190,7 @@ class GeomedeaTable(path: String, tableSchema: StructType = GeomedeaTable.Schema
 
 class GeomedeaScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var qMinLng = Int.MinValue
   private var qMinLat = Int.MinValue
@@ -138,6 +208,28 @@ class GeomedeaScanBuilder(path: String)
     * global limit.
     */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+
+  private var countPushed = false
+
+  /** Filterless COUNT(*) is answered ENTIRELY from the 45-byte file
+    * headers (featureCount is a format invariant the writer maintains) —
+    * no page is ever decompressed, no feature decoded. Catalyst only
+    * offers aggregate pushdown when every filter was fully pushed; ours
+    * are always residual, so a filtered count never reaches here.
+    */
+  private def isCountStarOnly(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    isCountStarOnly(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (isCountStarOnly(agg)) { countPushed = true; true } else false
+  }
 
   private def asInt(v: Any): Option[Int] = v match {
     case n: java.lang.Number =>
@@ -197,7 +289,8 @@ class GeomedeaScanBuilder(path: String)
       if (qMinLng == Int.MinValue && qMinLat == Int.MinValue &&
         qMaxLng == Int.MaxValue && qMaxLat == Int.MaxValue) None
       else Some(Envelope(qMinLng, qMinLat, math.max(qMinLng, qMaxLng), math.max(qMinLat, qMaxLat)))
-    new GeomedeaScan(path, bbox, pushed, required, limit)
+    if (countPushed) new GeomedeaCountScan(path)
+    else new GeomedeaScan(path, bbox, pushed, required, limit)
   }
 }
 
@@ -219,48 +312,7 @@ class GeomedeaScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
       new GmSumMetric("bytesDecoded", "container bytes read from the page section"),
       new GmSumMetric("rowsDecoded", "features decoded"))
 
-  /** Surviving files with their byte length and header feature count:
-    * one 45-byte head read per file at planning (the format's analog of
-    * a parquet footer read); with a pushed bbox, files whose R-tree ROOT
-    * bounds miss the rect are dropped here and never become partitions.
-    */
-  private lazy val keptFiles: Seq[(String, Long, Long)] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val st = fs.getFileStatus(p)
-    val files =
-      if (st.isDirectory)
-        fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".geomedea"))
-      else Seq(st)
-    // header reads fan out on a bounded pool: a 100k-shard lake is 100k
-    // tiny range reads, and serial object-store round trips would make
-    // PLANNING the bottleneck (Spark's own parquet footer reads use the
-    // same trick). Results re-sorted by path for deterministic planning.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(32, files.size)))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try {
-      val futs = files.map { s =>
-        scala.concurrent.Future {
-          val in = fs.open(s.getPath)
-          val head = new Array[Byte](math.min(GeomedeaTable.HeadBytes.toLong, s.getLen).toInt)
-          try in.readFully(0, head) finally in.close()
-          val count = graft.codec.FeatureCodec.decodeHeader(
-            new graft.codec.FeatureCodec.R(head))._3
-          val keep = bbox match {
-            case None    => true
-            case Some(q) => GeomedeaTable.fileExtent(head).exists(_.intersects(q))
-          }
-          if (keep) Some((s.getPath.toString, s.getLen, count)) else None
-        }
-      }
-      scala.concurrent.Await
-        .result(scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration(10, "min"))
-        .flatten.sortBy(_._1)
-    } finally pool.shutdown()
-  }
+  private lazy val keptFiles: Seq[(String, Long, Long)] = GeomedeaTable.scanFiles(path, bbox)
 
   /** With a pushed limit and no bbox (no residual filtering possible —
     * filters block limit pushdown upstream), only enough files to cover

@@ -193,6 +193,28 @@ class DataSourceV2Spec extends AnyFunSuite {
       s"bounded transfer: $transferred of ${bytes.length} bytes")
   }
 
+  test("COUNT(*) pushdown: answered from file headers, no page decoded") {
+    val df = spark.read.format("geomedea").load(shardDir)
+    // the count itself
+    assert(df.count() == 80)
+    // and the plan proves it came from the header-count scan, not a scan
+    // of decoded features
+    val agg = df.groupBy().count()
+    val scans = agg.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    assert(scans.exists(_.isInstanceOf[graft.sources.v2.GeomedeaCountScan]),
+      agg.queryExecution.optimizedPlan.toString)
+    assert(agg.head().getLong(0) == 80)
+    // filtered counts must NOT push (filters are residual): normal scan
+    val filtered = bboxWhere(df, Envelope.fromDegrees(100, 0, 110, 10)).groupBy().count()
+    val fScans = filtered.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    assert(!fScans.exists(_.isInstanceOf[graft.sources.v2.GeomedeaCountScan]))
+    assert(filtered.head().getLong(0) == 40)
+  }
+
   test("scan reports true header statistics (rows/bytes) to Catalyst") {
     val df = spark.read.format("geomedea").load(shardDir)
     val full = scanOf(df).estimateStatistics()
