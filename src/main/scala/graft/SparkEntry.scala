@@ -115,6 +115,22 @@ object SparkEntry {
         .orderBy("tile_id", "bucket")
     }),
 
+    // COUNT(*) through the DataSourceV2's aggregate pushdown: the count
+    // comes from the shard headers alone (GeomedeaCountScan — asserted
+    // in the spec); shards written by the distributed v2 writer
+    "q19_dsv2_count" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_dsv2c").toString + "/shards"
+      geo(s, dir).select(col("wkb"), col("doc_id")).as[(Array[Byte], String)]
+        .map { case (wkb, id) =>
+          (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
+            "doc", graft.codec.FeatureCodec.PString(id))))
+        }.toDF("wkb", "props")
+        .repartition(4)
+        .write.format("geomedea").mode("append").save(out)
+      s.read.format("geomedea").load(out).groupBy().count()
+    }),
+
     // cell cover of build-side polygons (H3/S2 analog generator)
     "q10_cell_cover" -> ((s, dir) => {
       InterleavedDocs.nationRects(s, dir)
@@ -426,6 +442,9 @@ object SparkEntry {
       s"""WITH $P SELECT ((lng + 1800000000) // 450000000) * 8 + ((lat + 900000000) // 225000000) AS tile_id,
          |count(*) AS n, string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
          |FROM pts GROUP BY 1 ORDER BY tile_id""".stripMargin,
+
+    "q19_dsv2_count" ->
+      s"""WITH $P SELECT count(*) AS count FROM pts""".stripMargin,
 
     "q18_tile_vector_scale" ->
       s"""WITH $P SELECT ((lng + 1800000000) // 450000000) * 8 + ((lat + 900000000) // 225000000) AS tile_id,
