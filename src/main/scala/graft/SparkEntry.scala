@@ -23,6 +23,27 @@ object SparkEntry {
   private def geo(s: SparkSession, dir: String): DataFrame =
     InterleavedDocs.withGeometry(InterleavedDocs.docs(s, dir))
 
+  /** Docs as (wkb, props[, band]) shards under a fresh temp dir via the
+    * DISTRIBUTED v2 writer; `part` picks the shard partitioning (band
+    * range for extent-distinct files, plain repartition for count).
+    */
+  private def writeDsv2Shards(s: SparkSession, dir: String, prefix: String,
+                              part: DataFrame => DataFrame): String = {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory(prefix).toString + "/shards"
+    val framed = geo(s, dir)
+      .select(col("wkb"), col("doc_id"),
+        floor((col("lat").cast("bigint") + 900000000L) / 450000000L).cast("int").as("band"))
+      .as[(Array[Byte], String, Int)]
+      .map { case (wkb, id, band) =>
+        (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
+          "doc", graft.codec.FeatureCodec.PString(id))), band)
+      }
+      .toDF("wkb", "props", "band")
+    part(framed).write.format("geomedea").mode("append").save(out)
+    out
+  }
+
   /** Flagship: spatial join + tile assignment on sf0.001 (rows>0 smoke). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -119,15 +140,7 @@ object SparkEntry {
     // comes from the shard headers alone (GeomedeaCountScan — asserted
     // in the spec); shards written by the distributed v2 writer
     "q19_dsv2_count" -> ((s, dir) => {
-      import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft_dsv2c").toString + "/shards"
-      geo(s, dir).select(col("wkb"), col("doc_id")).as[(Array[Byte], String)]
-        .map { case (wkb, id) =>
-          (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
-            "doc", graft.codec.FeatureCodec.PString(id))))
-        }.toDF("wkb", "props")
-        .repartition(4)
-        .write.format("geomedea").mode("append").save(out)
+      val out = writeDsv2Shards(s, dir, "graft_dsv2c", _.repartition(4))
       s.read.format("geomedea").load(out).groupBy().count()
     }),
 
@@ -196,19 +209,8 @@ object SparkEntry {
     // + page-pruned indexed reads — the reference's select_bbox
     // (reader.rs:313-346) driven by ordinary Catalyst filters
     "q16_dsv2_bbox" -> ((s, dir) => {
-      import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft_dsv2").toString + "/shards"
-      geo(s, dir)
-        .select(col("wkb"), col("doc_id"),
-          floor((col("lat").cast("bigint") + 900000000L) / 450000000L).cast("int").as("band"))
-        .as[(Array[Byte], String, Int)]
-        .map { case (wkb, id, band) =>
-          (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
-            "doc", graft.codec.FeatureCodec.PString(id))), band)
-        }
-        .toDF("wkb", "props", "band")
-        .repartitionByRange(5, col("band"))
-        .write.format("geomedea").mode("append").save(out)
+      val out = writeDsv2Shards(s, dir, "graft_dsv2",
+        _.repartitionByRange(5, col("band")))
       s.read.format("geomedea").load(out)
         .where(col("max_lng") >= QueryRect.minLng && col("max_lat") >= QueryRect.minLat &&
           col("min_lng") <= QueryRect.maxLng && col("min_lat") <= QueryRect.maxLat)
@@ -444,7 +446,7 @@ object SparkEntry {
          |FROM pts GROUP BY 1 ORDER BY tile_id""".stripMargin,
 
     "q19_dsv2_count" ->
-      s"""WITH $P SELECT count(*) AS count FROM pts""".stripMargin,
+      s"""WITH $P SELECT count(*) AS count FROM pts""",
 
     "q18_tile_vector_scale" ->
       s"""WITH $P SELECT ((lng + 1800000000) // 450000000) * 8 + ((lat + 900000000) // 225000000) AS tile_id,

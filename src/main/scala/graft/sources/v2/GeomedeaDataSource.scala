@@ -138,12 +138,18 @@ object GeomedeaTable {
   * decompressed, no feature decoded. The header featureCount is a format
   * invariant the writer maintains (`writer/mod.rs` finish()).
   */
-class GeomedeaCountScan(path: String) extends Scan with Batch {
+class GeomedeaCountScan(path: String) extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("count",
       org.apache.spark.sql.types.LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String = s"GeomedeaCountScan path=$path (header-only count)"
+  // statically known: one 8-byte row — without this, a join against the
+  // pushed count would see default-huge stats and decline to broadcast
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(16L)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(1L)
+  }
   override def planInputPartitions(): Array[InputPartition] =
     Array(GeomedeaPartition("<header-count>"))
   override def createReaderFactory(): PartitionReaderFactory =
@@ -289,8 +295,16 @@ class GeomedeaScanBuilder(path: String)
       if (qMinLng == Int.MinValue && qMinLat == Int.MinValue &&
         qMaxLng == Int.MaxValue && qMaxLat == Int.MaxValue) None
       else Some(Envelope(qMinLng, qMinLat, math.max(qMinLng, qMaxLng), math.max(qMinLat, qMaxLat)))
-    if (countPushed) new GeomedeaCountScan(path)
-    else new GeomedeaScan(path, bbox, pushed, required, limit)
+    if (countPushed) {
+      // invariant, enforced loudly: the header-only count is correct ONLY
+      // for an unfiltered table. Catalyst never offers aggregate pushdown
+      // while residual filters exist, and all our filters stay residual —
+      // but if a future change ever claims a filter as fully pushed, this
+      // turns silent wrong counts into an immediate error.
+      require(pushed.isEmpty && bbox.isEmpty,
+        "COUNT(*) pushdown reached with filters absorbed — header-only count would be wrong")
+      new GeomedeaCountScan(path)
+    } else new GeomedeaScan(path, bbox, pushed, required, limit)
   }
 }
 

@@ -251,7 +251,10 @@ class DataSourceV2Spec extends AnyFunSuite {
     src.select("wkb", "props").repartition(1)
       .write.format("geomedea").mode("append").save(out)
     assert(shards.length == 3, shards)
-    assert(spark.read.format("geomedea").load(out).count() == 160)
+    // decode-path check, NOT count(): count() is answered from headers
+    // (aggregate pushdown), which would mask a writer that stamps a
+    // correct header over corrupt pages
+    assert(spark.read.format("geomedea").load(out).collect().length == 160)
     // extra columns are ignored; overwrite truncates previous shards
     src.select(col("wkb"), col("props"), col("min_lng").as("junk")).repartition(1)
       .write.format("geomedea").mode("overwrite").save(out)
