@@ -137,17 +137,21 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     // anchor-star pairs per (hot shingle, size bucket): O(df) rows, keeps
     // the mass-dup cluster connected through one of ITS OWN members. Each
-    // hot (sh, szb) anchor ALSO reaches docs in BOTH adjacent buckets
-    // szb±1 (Jaccard >= t only bounds the size RATIO, so a genuine
-    // near-dup pair can straddle a log2 boundary, and the shared shingle
+    // hot (sh, szb) anchor ALSO reaches docs in buckets szb±1..±maxShift:
+    // Jaccard >= t only bounds the size RATIO (|A|/|B| <= 1/t), so a
+    // genuine near-dup pair can sit up to ceil(log2(1/t)) log2-buckets
+    // apart (1 bucket for t >= 0.5, more below), and the shared shingle
     // may be hot on EITHER side alone: a hot pile in the upper bucket
     // must still reach a rare-side near-dup in the lower bucket, and vice
-    // versa — up-shift alone covers only half the straddle cases). least/
+    // versa — up-shift alone covers only half the straddle cases. least/
     // greatest keeps the (id_a < id_b) pair orientation for cross-bucket
     // anchors, whose doc_id need not exceed the other bucket's anchor.
-    val hotAdj = hot
-      .unionByName(hot.withColumn("szb", col("szb") + 1))
-      .unionByName(hot.withColumn("szb", col("szb") - 1))
+    require(thresholdX10000 >= 1 && thresholdX10000 <= 10000,
+      s"thresholdX10000 must be in [1, 10000]; got $thresholdX10000")
+    val maxShift = math.max(1,
+      math.ceil(math.log(10000.0 / thresholdX10000) / math.log(2.0)).toInt)
+    val hotAdj = (-maxShift to maxShift).map(d => hot.withColumn("szb", col("szb") + d))
+      .reduce(_ unionByName _)
     val anchorPairs = sh.join(hotAdj, Seq("sh", "szb"))
       .where(col("doc_id") =!= col("anchor"))
       .select(least(col("anchor"), col("doc_id")).as("id_a"),

@@ -27,6 +27,9 @@ object Knn {
 
   val DefaultRes = 4
 
+  /** Hard ceiling on the driver-side query collect (contract guard). */
+  val MaxQueries = 100000
+
   /** points: (doc_id, lng, lat, ...); queries: (query_id, q_lng, q_lat).
     * Returns (query_id, rank, doc_id, dist2), rank 1..k. Exact.
     */
@@ -48,8 +51,16 @@ object Knn {
     def ringCount(cell: Long, r: Int): Long =
       Cells.kRing(cell, res, r).iterator.map(c => cellCounts.getOrElse(c, 0L)).sum
 
-    // driver-side ring planning per query (queries are small/broadcastable)
-    val qRows: Array[Row] = queries.select("query_id", "q_lng", "q_lat").collect()
+    // driver-side ring planning per query (queries are small/broadcastable
+    // — the documented contract, enforced LOUDLY: limit(max+1) bounds the
+    // collect itself, so an oversized query set fails with this message
+    // instead of OOMing the driver)
+    val qRows: Array[Row] = queries.select("query_id", "q_lng", "q_lat")
+      .limit(MaxQueries + 1).collect()
+    require(qRows.length <= MaxQueries,
+      s"knn plans rings driver-side and expects a small/broadcastable query set " +
+        s"(> $MaxQueries rows); for query sets at doc scale use a cell equi-join " +
+        s"(SpatialJoin.cellJoin on gmKRing-expanded query cells) instead")
     val probeCells: Seq[(Long, Int, Int, Long)] = qRows.toSeq.flatMap { row =>
       val qid = row.getLong(0)
       val qlng = row.getInt(1); val qlat = row.getInt(2)

@@ -161,8 +161,14 @@ object GeoJsonIngest {
     // empty input -> geometry-only header (geozero emits headers from
     // the first feature; with none, only the geometry column exists)
     val keys = df.select("prop_keys").take(1).headOption
-      .map(_.getSeq[String](0)).getOrElse(Seq.empty)
-    val byKey = map_from_arrays(col("prop_keys"), col("prop_vals"))
+      .map(_.getSeq[String](0).distinct).getOrElse(Seq.empty)
+    // props are an ORDERED list that permits duplicate keys; keep each
+    // key's FIRST occurrence (geozero-style pick-one) so a repeated key
+    // degrades gracefully instead of failing the whole export with
+    // Spark's DUPLICATED_MAP_KEY (default mapKeyDedupPolicy=EXCEPTION)
+    val firsts = filter(arrays_zip(col("prop_keys"), col("prop_vals")),
+      (pr, i) => array_position(col("prop_keys"), pr("prop_keys")) === i + 1)
+    val byKey = map_from_entries(firsts)
     df.select(stAsText(col("wkb")).as("geometry") +:
       keys.map(k => element_at(byKey, k).as(k)): _*)
   }

@@ -188,6 +188,216 @@ object GeomedeaFile {
     LimitedRead(out.result(), pages, pageCount, bytesRead)
   }
 
+  /** Index node-range merge threshold: two index read ranges closer than
+    * this are coalesced into one request (`packed_r_tree/reader.rs:159-161`
+    * — "16,000 bytes ≈ 571 nodes" tradeoff between request count and
+    * wasted transfer).
+    */
+  val RangeMergeBytes: Long = 16000L
+
+  /** Page fetch window: 2 x page-size-goal with the reference's 1.1x
+    * overfetch factor (`http_reader.rs:162,174-176`) — each request
+    * speculatively reads this much so runs of adjacent hit pages cost one
+    * round trip, while a miss wastes at most the window.
+    */
+  val PageBatchBytes: Int = (2 * DefaultPageSizeGoal * 1.1).toInt
+
+  /** Bounded-transfer indexed bbox scan (S7 — the reference's partial-
+    * download raison d'être, `http_reader.rs:86-107` + range batching
+    * `:121-187`): `readRange(offset, len)` is the ONLY I/O primitive
+    * (a positioned read — FSDataInputStream.readFully or an HTTP range
+    * request), and the transfer is bounded at every stage:
+    *
+    *  1. 17-byte header;
+    *  2. R-tree traversal LEVEL BY LEVEL — only the children of
+    *     intersecting nodes are ever requested, with node ranges closer
+    *     than [[RangeMergeBytes]] coalesced into one request
+    *     (`packed_r_tree/reader.rs:140-187` semantics);
+    *  3. hit pages via a sequential [[PageBatchBytes]] fetch window —
+    *     adjacent hit pages share one request, non-hit pages inside a
+    *     window cost transfer but are never decompressed, and pages
+    *     outside every window never leave storage.
+    *
+    * Features stream page by page (O(window + page) memory — nothing
+    * materializes the file, so file size is unconstrained) in tree
+    * (= Hilbert layout) order with their stable FeatureLocations, same
+    * rows as [[selectBboxCounted]]. Accounting (requests / bytes /
+    * pages) is live on the returned scan — the distributed twin of the
+    * reference's CountingReader.
+    */
+  def selectBboxRange(readRange: (Long, Int) => Array[Byte], fileLen: Long,
+                      q: Envelope, batchBytes: Int = PageBatchBytes): RangedBboxScan =
+    new RangedBboxScan(readRange, fileLen, q, batchBytes)
+
+  final class RangedBboxScan(readRange: (Long, Int) => Array[Byte], fileLen: Long,
+                             q: Envelope, batchBytes: Int)
+      extends Iterator[((Long, Int), Feature)] {
+    require(batchBytes >= FeatureCodec.PageHeaderBytes, s"batchBytes $batchBytes too small")
+    private var _requests = 0L
+    private var _transferred = 0L
+    private var _pagesDecoded = 0L
+    def requests: Long = _requests
+    def bytesTransferred: Long = _transferred
+    def pagesDecoded: Long = _pagesDecoded
+
+    private def fetch(off: Long, len: Int): Array[Byte] = {
+      val n = math.min(len.toLong, fileLen - off).toInt
+      _requests += 1
+      _transferred += n
+      readRange(off, n)
+    }
+
+    private val (compressed, totalPagesV, featureCount) =
+      FeatureCodec.decodeHeader(new R(fetch(0, FeatureCodec.HeaderBytes)))
+    def totalPages: Long = totalPagesV
+
+    @inline private def i32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+    /** Leaf FeatureLocations intersecting q, in tree (layout) order —
+      * level-by-level descent fetching only surviving nodes' children.
+      * Because leaves were pushed in layout order, the emitted page
+      * offsets are NON-DECREASING, which is what lets the page stage
+      * stream through one forward window.
+      */
+    private val locs: Vector[(Long, Int)] = {
+      if (featureCount == 0) Vector.empty
+      else {
+        val ranges = PackedRTree.nodeRangesByLevel(featureCount)
+        val leafStart = ranges.last._1
+        val indexStart = FeatureCodec.HeaderBytes.toLong
+        val out = Vector.newBuilder[(Long, Int)]
+        var pending: Vector[(Long, Long)] = Vector((0L, 1L))
+        while (pending.nonEmpty) {
+          // coalesce node ranges whose byte gap is under the threshold
+          val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          pending.foreach { r =>
+            if (merged.nonEmpty &&
+              (r._1 - merged.last._2) * PackedRTree.NodeBytes <= RangeMergeBytes)
+              merged(merged.size - 1) = (merged.last._1, r._2)
+            else merged += r
+          }
+          val bufs = merged.map { case (s, e) =>
+            (s, fetch(indexStart + s * PackedRTree.NodeBytes,
+              ((e - s) * PackedRTree.NodeBytes).toInt))
+          }
+          val next = Vector.newBuilder[(Long, Long)]
+          pending.foreach { case (s, e) =>
+            var idx = s
+            while (idx < e) {
+              val bi = bufs.lastIndexWhere(_._1 <= idx)
+              val (bs, buf) = bufs(bi)
+              val off = ((idx - bs) * PackedRTree.NodeBytes).toInt
+              val env = Envelope(i32(buf, off), i32(buf, off + 4),
+                i32(buf, off + 8), i32(buf, off + 12))
+              if (env.intersects(q)) {
+                if (idx >= leafStart)
+                  out += (((i32(buf, off + 16).toLong & 0xFFFFFFFFL) |
+                    (i32(buf, off + 20).toLong << 32), i32(buf, off + 24)))
+                else PackedRTree.childrenRange(featureCount, idx).foreach(next += _)
+              }
+              idx += 1
+            }
+          }
+          pending = next.result()
+        }
+        out.result()
+      }
+    }
+
+    private val pageBase = FeatureCodec.HeaderBytes.toLong +
+      PackedRTree.nodeCount(featureCount) * PackedRTree.NodeBytes
+    private var winStart = 0L
+    private var win: Array[Byte] = null
+    private var curPageOff = -1L
+    private var curBody: Array[Byte] = null
+    private val it = locs.iterator
+
+    private def bodyFor(pageOff: Long): Array[Byte] = {
+      if (pageOff == curPageOff) return curBody
+      if (win == null || pageOff < winStart ||
+        pageOff + FeatureCodec.PageHeaderBytes > winStart + win.length) {
+        win = fetch(pageBase + pageOff, batchBytes)
+        winStart = pageOff
+      }
+      val rel = (pageOff - winStart).toInt
+      val (encLen, decLen, _) = FeatureCodec.decodePageHeader(new R(win, rel))
+      val bodyStart = rel + FeatureCodec.PageHeaderBytes
+      val enc: Array[Byte] =
+        if (bodyStart + encLen <= win.length)
+          java.util.Arrays.copyOfRange(win, bodyStart, bodyStart + encLen.toInt)
+        else { // page tail past the window: fetch exactly the remainder
+          val have = math.max(0, win.length - bodyStart)
+          val rest = fetch(pageBase + pageOff + FeatureCodec.PageHeaderBytes + have,
+            (encLen - have).toInt)
+          val buf = new Array[Byte](encLen.toInt)
+          if (have > 0) System.arraycopy(win, bodyStart, buf, 0, have)
+          System.arraycopy(rest, 0, buf, have, rest.length)
+          buf
+        }
+      curBody =
+        if (compressed) com.github.luben.zstd.Zstd.decompress(enc, decLen.toInt) else enc
+      curPageOff = pageOff
+      _pagesDecoded += 1
+      curBody
+    }
+
+    override def hasNext: Boolean = it.hasNext
+    override def next(): ((Long, Int), Feature) = {
+      val (po, fo) = it.next()
+      val pr = new R(bodyFor(po), fo)
+      val len = pr.u64().toInt
+      ((po, fo), FeatureCodec.decodeFeature(pr.take(len)))
+    }
+  }
+
+  /** Streaming full scan: pages decode one at a time off a forward-only
+    * stream — O(page) memory regardless of file size (the reference
+    * reader's shape, `reader.rs:11-156`), vs [[selectAllLocated]]'s
+    * whole-file materialization. Same rows, same order, same stable
+    * FeatureLocations. `onPage(bytes)` fires per decoded page with its
+    * encoded size (page header included) for scan metrics.
+    */
+  def selectAllStream(in: java.io.DataInput,
+                      onPage: Long => Unit = _ => ()): Iterator[((Long, Int), Feature)] = {
+    val head = new Array[Byte](FeatureCodec.HeaderBytes)
+    in.readFully(head)
+    val (compressed, pageCount, featureCount) = FeatureCodec.decodeHeader(new R(head))
+    var toSkip = PackedRTree.nodeCount(featureCount) * PackedRTree.NodeBytes
+    while (toSkip > 0) { // DataInput.skipBytes may skip less than asked
+      val skipped = in.skipBytes(math.min(toSkip, Int.MaxValue.toLong).toInt)
+      require(skipped > 0, "unexpected EOF while skipping the index section")
+      toSkip -= skipped
+    }
+    new Iterator[((Long, Int), Feature)] {
+      private var pageIdx = 0L
+      private var pageStart = 0L
+      private var inPage: Iterator[((Long, Int), Feature)] = Iterator.empty
+      private def advance(): Unit = while (!inPage.hasNext && pageIdx < pageCount) {
+        val ph = new Array[Byte](FeatureCodec.PageHeaderBytes)
+        in.readFully(ph)
+        val (encLen, decLen, count) = FeatureCodec.decodePageHeader(new R(ph))
+        val enc = new Array[Byte](encLen.toInt)
+        in.readFully(enc)
+        val body =
+          if (compressed) com.github.luben.zstd.Zstd.decompress(enc, decLen.toInt) else enc
+        val thisPageStart = pageStart
+        val pr = new R(body)
+        inPage = Iterator.fill(count.toInt) {
+          val featOff = pr.pos
+          val len = pr.u64().toInt
+          ((thisPageStart, featOff), FeatureCodec.decodeFeature(pr.take(len)))
+        }
+        onPage(FeatureCodec.PageHeaderBytes.toLong + encLen)
+        pageStart += FeatureCodec.PageHeaderBytes.toLong + encLen
+        pageIdx += 1
+      }
+      override def hasNext: Boolean = { advance(); inPage.hasNext }
+      override def next(): ((Long, Int), Feature) = { advance(); inPage.next() }
+    }
+  }
+
   /** Read accounting for the indexed scan — the analog of the
     * reference's request/byte counting (`CountingReader`, and the README
     * measurement "153 requests, 81,175,859 bytes"): each fetched page is

@@ -30,9 +30,12 @@ import org.apache.spark.util.SerializableConfiguration
   *  1. at PLANNING, whole files whose R-tree ROOT bounds (= file extent,
   *     read from the first 45 header bytes, never the whole file) miss
   *     the query rect are never planned as partitions;
-  *  2. at READ, surviving files run the indexed page-pruned scan
-  *     ([[GeomedeaFile.selectBboxLocated]]) so only intersecting pages
-  *     decompress — the reference's partial-download behavior.
+  *  2. at READ, surviving files run the bounded-transfer indexed scan
+  *     ([[GeomedeaFile.selectBboxRange]]): positioned range reads walk
+  *     header -> needed index levels -> hit pages, so pruned pages never
+  *     leave storage OR decompress — the reference's partial-download
+  *     behavior (`http_reader.rs:86-107`) at both the transfer and the
+  *     decode level.
   * Pruning is a strict SUPERSET of the predicate (closed-interval R-tree
   * intersection), so every pushed filter is also returned as a residual
   * for Spark to re-evaluate — correctness never depends on the index.
@@ -89,14 +92,18 @@ object GeomedeaTable {
 
   val HeadBytes: Int = graft.codec.FeatureCodec.HeaderBytes + graft.index.PackedRTree.NodeBytes
 
-  /** Surviving files with byte length and header feature count: one
-    * 45-byte head read per file at planning (the format's analog of a
-    * parquet footer read); with a bbox, files whose R-tree ROOT bounds
-    * miss the rect are dropped. Header reads fan out on a bounded pool —
-    * a 100k-shard lake is 100k tiny range reads, and serial object-store
-    * round trips would make PLANNING the bottleneck (Spark's own parquet
-    * footer reads use the same trick). Re-sorted by path for
-    * deterministic planning.
+  /** Surviving files with byte length and header feature count. Fast
+    * path: a directory written by the v2 writer carries a
+    * [[GeomedeaManifest]] — extents/counts for the whole lake in ONE
+    * driver read (validated against the listing: exact file-name
+    * coverage with matching byte lengths, else ignored), so a 100k-shard
+    * lake plans without 100k header round trips on every query.
+    * Fallback: one 45-byte head read per file (the format's analog of a
+    * parquet footer read), fanned out on a bounded pool — serial
+    * object-store round trips would make PLANNING the bottleneck
+    * (Spark's own parquet footer reads use the same trick). With a
+    * bbox, files whose R-tree ROOT bounds (= manifest extent) miss the
+    * rect are dropped. Re-sorted by path for deterministic planning.
     */
   def scanFiles(path: String, bbox: Option[Envelope]): Seq[(String, Long, Long)] = {
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
@@ -107,6 +114,19 @@ object GeomedeaTable {
       if (st.isDirectory)
         fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".geomedea"))
       else Seq(st)
+    if (st.isDirectory) GeomedeaManifest.read(fs, p) match {
+      case Some(m) if m.size == files.size &&
+        files.forall(f => m.get(f.getPath.getName).exists(_.len == f.getLen)) =>
+        return files.flatMap { f =>
+          val e = m(f.getPath.getName)
+          val keep = bbox match {
+            case None    => true
+            case Some(q) => e.extent.exists(_.intersects(q))
+          }
+          if (keep) Some((f.getPath.toString, f.getLen, e.count)) else None
+        }.sortBy(_._1)
+      case _ => () // absent or stale: header-read fallback below
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(32, files.size)))
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -114,6 +134,9 @@ object GeomedeaTable {
     try {
       val futs = files.map { s =>
         scala.concurrent.Future {
+          require(s.getLen >= graft.codec.FeatureCodec.HeaderBytes,
+            s"${s.getPath}: ${s.getLen} bytes is shorter than a .geomedea header " +
+              s"(${graft.codec.FeatureCodec.HeaderBytes}) — truncated or not a geomedea file")
           val in = fs.open(s.getPath)
           val head = new Array[Byte](math.min(HeadBytes.toLong, s.getLen).toInt)
           try in.readFully(0, head) finally in.close()
@@ -190,6 +213,8 @@ class GeomedeaTable(path: String, tableSchema: StructType = GeomedeaTable.Schema
     require(s(s.fieldIndex("props")).dataType.catalogString == expected,
       s"props column must be array<PropCell> ($expected); " +
         s"got ${s(s.fieldIndex("props")).dataType.catalogString}")
+    require(s(s.fieldIndex("wkb")).dataType == org.apache.spark.sql.types.BinaryType,
+      s"wkb column must be binary; got ${s(s.fieldIndex("wkb")).dataType.catalogString}")
     new GeomedeaWriteBuilder(path, info)
   }
 }
@@ -322,9 +347,7 @@ class GeomedeaScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
     * accounting (its README's "153 requests, 81,175,859 bytes").
     */
   override def supportedCustomMetrics(): Array[CustomMetric] =
-    Array(new GmSumMetric("pagesDecoded", "container pages decompressed"),
-      new GmSumMetric("bytesDecoded", "container bytes read from the page section"),
-      new GmSumMetric("rowsDecoded", "features decoded"))
+    Array(new GmPagesMetric, new GmBytesMetric, new GmRowsMetric)
 
   private lazy val keptFiles: Seq[(String, Long, Long)] = GeomedeaTable.scanFiles(path, bbox)
 
@@ -360,13 +383,23 @@ class GeomedeaScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
       new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()))
 }
 
-/** Sum-aggregated scan metric (name + description only; summing is the
-  * right aggregation for decode counters).
+/** Sum-aggregated scan metrics. Concrete 0-arg classes, NOT a
+  * parameterized one: the SQL UI's SQLAppStatusListener re-instantiates
+  * the metric by CLASS NAME via a zero-argument constructor to aggregate
+  * task values — a constructor-parameterized metric silently breaks UI
+  * aggregation (Utils.loadExtensions warning at execution end).
   */
-class GmSumMetric(metricName: String, metricDescription: String)
-    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = metricName
-  override def description(): String = metricDescription
+class GmPagesMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "pagesDecoded"
+  override def description(): String = "container pages decompressed"
+}
+class GmBytesMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "bytesDecoded"
+  override def description(): String = "container bytes transferred/decoded"
+}
+class GmRowsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "rowsDecoded"
+  override def description(): String = "features decoded"
 }
 
 final case class GmTaskMetric(name: String, value: Long)
@@ -387,52 +420,54 @@ class GeomedeaReaderFactory(bbox: Option[Envelope], required: StructType,
       private var pagesDecoded = 0L
       private var bytesDecoded = 0L
       private var rowsDecoded = 0L
+      // live accounting override for scans that track their own counters
+      private var metricSource: () => (Long, Long) = null
+
+      // every branch STREAMS with bounded memory and bounded transfer —
+      // nothing ever materializes a whole file, so shard size is
+      // unconstrained on the read side (the reference reader's O(page)
+      // shape, `reader.rs:11-156`)
+      private val p = new Path(file)
+      private val fs = p.getFileSystem(conf.value)
+      private var stream: org.apache.hadoop.fs.FSDataInputStream = null
 
       private val iter = {
-        val p = new Path(file)
-        val fs = p.getFileSystem(conf.value)
         val len = fs.getFileStatus(p).getLen
-        def wholeFile(): Array[Byte] = {
-          require(len <= graft.sources.GeomedeaSpark.MaxFileBytes,
-            s"$file: $len bytes > ${graft.sources.GeomedeaSpark.MaxFileBytes}")
-          val bytes = new Array[Byte](len.toInt)
-          val in = fs.open(p)
-          try in.readFully(0, bytes) finally in.close()
-          bytes
-        }
-        val feats = (bbox, limit) match {
-          case (Some(q), _) => // page-pruned indexed read, with accounting
-            val read = GeomedeaFile.selectBboxCounted(wholeFile(), q)
-            pagesDecoded = read.pagesFetched
-            bytesDecoded = read.bytesFetched
-            val located = read.locations.zip(read.features)
-            limit.fold(located)(located.take)
-          case (None, Some(n)) =>
-            // bounded TRANSFER, not just bounded decode: positioned range
-            // reads fetch the 17-byte header + each needed page only —
-            // the R-tree index and remaining pages never leave storage,
-            // and the file size is unconstrained on this path
-            val in = fs.open(p)
-            try {
-              val read = GeomedeaFile.selectLimitRange((off, k) => {
-                val buf = new Array[Byte](k); in.readFully(off, buf); buf
-              }, n)
-              pagesDecoded = read.pagesDecoded
-              bytesDecoded = read.bytesDecoded
-              read.features
-            } finally in.close()
-          case (None, None) =>
-            val bytes = wholeFile()
-            val hr = new graft.codec.FeatureCodec.R(bytes)
-            val (_, pageCount, featureCount) = graft.codec.FeatureCodec.decodeHeader(hr)
-            pagesDecoded = pageCount
-            // page-section bytes only, consistent with the other branches
-            bytesDecoded = len - graft.codec.FeatureCodec.HeaderBytes -
-              graft.index.PackedRTree.nodeCount(featureCount) * graft.index.PackedRTree.NodeBytes
-            GeomedeaFile.selectAllLocated(bytes)
-        }
-        rowsDecoded = feats.length.toLong
-        feats.iterator.map { case ((pageOff, featOff), f) =>
+        val feats: Iterator[((Long, Int), graft.codec.FeatureCodec.Feature)] =
+          (bbox, limit) match {
+            case (Some(q), _) =>
+              // bounded TRANSFER bbox read (the reference's partial-
+              // download path, http_reader.rs:86-107): positioned range
+              // reads walk header -> needed index levels (range-merged)
+              // -> hit pages (batched windows); pruned pages and index
+              // subtrees never leave storage
+              stream = fs.open(p)
+              val scan = GeomedeaFile.selectBboxRange((off, k) => {
+                val buf = new Array[Byte](k); stream.readFully(off, buf); buf
+              }, len, q)
+              metricSource = () => (scan.pagesDecoded, scan.bytesTransferred)
+              limit.fold(scan: Iterator[((Long, Int), graft.codec.FeatureCodec.Feature)])(scan.take)
+            case (None, Some(n)) =>
+              // bounded transfer AND bounded decode: header + page prefix
+              // only, never the index or the remaining pages
+              val in = fs.open(p)
+              try {
+                val read = GeomedeaFile.selectLimitRange((off, k) => {
+                  val buf = new Array[Byte](k); in.readFully(off, buf); buf
+                }, n)
+                pagesDecoded = read.pagesDecoded
+                bytesDecoded = read.bytesDecoded
+                read.features.iterator
+              } finally in.close()
+            case (None, None) =>
+              // page-by-page streaming full scan: O(page) task memory
+              stream = fs.open(p)
+              GeomedeaFile.selectAllStream(stream, onPage = bytes => {
+                pagesDecoded += 1; bytesDecoded += bytes
+              })
+          }
+        feats.map { case ((pageOff, featOff), f) =>
+          rowsDecoded += 1
           GeomedeaTable.GmRow(file, pageOff, featOff, graft.geom.Wkb.write(f.geom),
             f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) },
             f.props.map(_._1),
@@ -452,11 +487,16 @@ class GeomedeaReaderFactory(bbox: Option[Envelope], required: StructType,
         true
       }
       override def get(): InternalRow = current
-      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+        if (metricSource != null) {
+          val (pages, bytes) = metricSource()
+          pagesDecoded = pages; bytesDecoded = bytes
+        }
         Array(GmTaskMetric("pagesDecoded", pagesDecoded),
           GmTaskMetric("bytesDecoded", bytesDecoded),
           GmTaskMetric("rowsDecoded", rowsDecoded))
-      override def close(): Unit = ()
+      }
+      override def close(): Unit = if (stream != null) { stream.close(); stream = null }
     }
   }
 }

@@ -1,0 +1,73 @@
+package graft.sources.v2
+
+import graft.geom.Envelope
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+/** Extent/count manifest for a directory of `.geomedea` shards — the
+  * format-level analog of the parquet `_lineage` manifest the ingest
+  * side already keeps (`jobs/Ingest.scala`): one driver read replaces
+  * per-file header round trips at PLANNING, so a 100k-shard lake plans a
+  * query from one small file instead of 100k tiny range reads.
+  *
+  * Consistency model: advisory cache, never trusted blindly. The
+  * planner ([[GeomedeaTable.scanFiles]]) validates that the manifest
+  * covers EXACTLY the listed `.geomedea` files with matching byte
+  * lengths and silently falls back to header reads otherwise — so
+  * hand-copied files, partial manifests, or a crash between delete and
+  * rename only cost the fallback, never correctness. The v2 writer
+  * refreshes it on every job commit (including entries for pre-existing
+  * files it didn't write, read from their 45-byte heads), published via
+  * write-tmp + delete + rename (Hadoop rename does not overwrite).
+  *
+  * Line format (TSV): `name len count minLng minLat maxLng maxLat`.
+  * Empty shards (count 0) store their inverted empty envelope and map
+  * to extent None, matching [[GeomedeaTable.fileExtent]] semantics.
+  */
+object GeomedeaManifest {
+
+  val FileName = "_manifest.tsv"
+
+  final case class Entry(name: String, len: Long, count: Long,
+                         minLng: Int, minLat: Int, maxLng: Int, maxLat: Int) {
+    def extent: Option[Envelope] =
+      if (count == 0) None else Some(Envelope(minLng, minLat, maxLng, maxLat))
+    def line: String = s"$name\t$len\t$count\t$minLng\t$minLat\t$maxLng\t$maxLat"
+  }
+
+  def entryOf(name: String, len: Long, count: Long, extent: Envelope): Entry =
+    Entry(name, len, count, extent.minLng, extent.minLat, extent.maxLng, extent.maxLat)
+
+  /** None when absent or unparseable (both mean: fall back to headers). */
+  def read(fs: FileSystem, dir: Path): Option[Map[String, Entry]] = {
+    val f = new Path(dir, FileName)
+    try {
+      if (!fs.exists(f)) return None
+      val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(0, buf) finally in.close()
+      val text = new String(buf, StandardCharsets.UTF_8)
+      val entries = text.split('\n').iterator.filter(_.nonEmpty).map { line =>
+        val p = line.split('\t')
+        require(p.length == 7, s"bad manifest line: $line")
+        Entry(p(0), p(1).toLong, p(2).toLong, p(3).toInt, p(4).toInt, p(5).toInt, p(6).toInt)
+      }.toSeq
+      Some(entries.map(e => e.name -> e).toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Atomic-enough publish: tmp write, delete old, rename. A crash in
+    * the window leaves no/stale manifest — the planner's validation
+    * degrades that to the header-read fallback.
+    */
+  def write(fs: FileSystem, dir: Path, entries: Seq[Entry], token: String): Unit = {
+    val tmp = new Path(dir, s"_manifest.tsv.tmp-$token")
+    val out = fs.create(tmp, true)
+    try out.write(entries.sortBy(_.name).map(_.line).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new Path(dir, FileName)
+    if (fs.exists(fin)) fs.delete(fin, false)
+    require(fs.rename(tmp, fin), s"failed to publish $FileName under $dir")
+  }
+}

@@ -38,16 +38,22 @@ class GeomedeaWriteBuilder(path: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val compressed = info.options.getBoolean("compressed", true)
-      new GeomedeaBatchWrite(path, info.schema(), compressed, doTruncate)
+      // page size goal knob, like the reference's WriterOptions
+      // (writer/mod.rs:24-27); default 64 KiB (lib.rs:47)
+      val pageSizeGoal = info.options.getLong("pageSizeGoal", GeomedeaFile.DefaultPageSizeGoal)
+      require(pageSizeGoal > 0, s"pageSizeGoal must be positive; got $pageSizeGoal")
+      new GeomedeaBatchWrite(path, info.schema(), compressed, pageSizeGoal, doTruncate)
     }
   }
 }
 
-final case class GeomedeaCommit(tmpName: String, finalName: String)
+final case class GeomedeaCommit(tmpName: String, finalName: String,
+                                bytes: Long, count: Long,
+                                minLng: Int, minLat: Int, maxLng: Int, maxLat: Int)
     extends WriterCommitMessage
 
 class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
-                         truncate: Boolean) extends BatchWrite {
+                         pageSizeGoal: Long, truncate: Boolean) extends BatchWrite {
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
@@ -57,7 +63,7 @@ class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
   private val jobToken = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GeomedeaWriterFactory(path, schema, compressed, conf, jobToken)
+    new GeomedeaWriterFactory(path, schema, compressed, pageSizeGoal, conf, jobToken)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -65,25 +71,51 @@ class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
     if (truncate && fs.exists(dir))
       fs.listStatus(dir).filter(_.getPath.getName.endsWith(".geomedea"))
         .foreach(s => fs.delete(s.getPath, false))
-    messages.foreach {
-      case GeomedeaCommit(tmp, fin) =>
-        val ok = fs.rename(new Path(dir, tmp), new Path(dir, fin))
-        require(ok, s"failed to publish $tmp -> $fin under $path")
-      case _ => ()
+    val fresh = messages.collect {
+      case c: GeomedeaCommit =>
+        val ok = fs.rename(new Path(dir, c.tmpName), new Path(dir, c.finalName))
+        require(ok, s"failed to publish ${c.tmpName} -> ${c.finalName} under $path")
+        GeomedeaManifest.Entry(c.finalName, c.bytes, c.count,
+          c.minLng, c.minLat, c.maxLng, c.maxLat)
     }
+    // refresh the extent manifest so planning reads ONE file, not one
+    // header per shard. Self-healing for pre-existing shards this job
+    // didn't write: carried from the old manifest when still accurate,
+    // else re-read from their 45-byte heads (bounded driver work, once
+    // per commit — amortized across every later query).
+    val old = GeomedeaManifest.read(fs, dir).getOrElse(Map.empty[String, GeomedeaManifest.Entry])
+    val freshByName = fresh.map(e => e.name -> e).toMap
+    val entries = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".geomedea"))
+      .map { s =>
+        val name = s.getPath.getName
+        freshByName.get(name)
+          .orElse(old.get(name).filter(_.len == s.getLen))
+          .getOrElse {
+            val head = new Array[Byte](math.min(GeomedeaTable.HeadBytes.toLong, s.getLen).toInt)
+            val in = fs.open(s.getPath)
+            try in.readFully(0, head) finally in.close()
+            val count = graft.codec.FeatureCodec.decodeHeader(
+              new graft.codec.FeatureCodec.R(head))._3
+            val ext = GeomedeaTable.fileExtent(head).getOrElse(graft.geom.Envelope.empty)
+            GeomedeaManifest.entryOf(name, s.getLen, count, ext)
+          }
+      }
+    GeomedeaManifest.write(fs, dir, entries, jobToken)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     messages.foreach {
-      case GeomedeaCommit(tmp, _) => fs.delete(new Path(dir, tmp), false)
-      case _                      => ()
+      case c: GeomedeaCommit => fs.delete(new Path(dir, c.tmpName), false)
+      case _                 => ()
     }
   }
 }
 
 class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolean,
+                            pageSizeGoal: Long,
                             conf: SerializableConfiguration, jobToken: String)
     extends DataWriterFactory {
 
@@ -116,8 +148,9 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
       }
 
       override def commit(): WriterCommitMessage = {
-        val bytes = GeomedeaFile.write(feats.result(), compressed,
-          GeomedeaFile.DefaultPageSizeGoal)
+        val fl = feats.result()
+        val written = GeomedeaFile.writeFull(fl, compressed, pageSizeGoal)
+        val bytes = written.bytes
         require(bytes.length <= graft.sources.GeomedeaSpark.MaxFileBytes,
           s"partition $partitionId: ${bytes.length} bytes > " +
             s"${graft.sources.GeomedeaSpark.MaxFileBytes}; repartition to more shards")
@@ -127,7 +160,9 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
         wroteTmp = true
         val out = fs.create(new Path(dir, tmp), true)
         try out.write(bytes) finally out.close()
-        GeomedeaCommit(tmp, fin)
+        GeomedeaCommit(tmp, fin, bytes.length.toLong, fl.length.toLong,
+          written.extent.minLng, written.extent.minLat,
+          written.extent.maxLng, written.extent.maxLat)
       }
 
       /** Task-level abort: remove this task's own tmp shard (a commit
