@@ -287,16 +287,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // MinHash+LSH banding candidates, Jaccard-verified (rows-only; recall
-    // asserted against injected near-dups in the test suite)
+    // MinHash+LSH banding candidates, Jaccard-verified (oracled: the md5
+    // hash family, banding, and verification replay in DuckDB SQL; recall
+    // vs injected near-dups asserted in the test suite)
     "q32_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLsh(Dedup.corpusWithDups(s, dir), 6000)
         .select(col("id_a").cast("long"), col("id_b").cast("long"), col("jacc_x10000"))
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pairs, hamming <= 3 (rows-only; equals brute force
-    // by pigeonhole blocking — asserted in tests)
+    // SimHash near-dup pairs, hamming <= 3 (oracled: FNV-1a + majority
+    // vote replayed per char in DuckDB SQL against the brute pair join,
+    // which the chunk blocking provably equals by pigeonhole)
     "q33_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(Dedup.corpusWithDups(s, dir))
         .select(col("id_a").cast("long"), col("id_b").cast("long"),
@@ -323,7 +325,8 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN top-k (rows-only; recall vs brute asserted in tests)
+    // LSH-bucketed ANN top-k (oracled: seeded plane literals + multiprobe
+    // replayed in SQL; recall vs brute asserted in tests)
     "q36_sim_lsh" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
       val q = e.where(col("vec_id") % 50 === 0)
@@ -356,7 +359,8 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // document fingerprints (rolling + winnowing min-shingle; rows-only)
+    // document fingerprints (oracled: rolling mod-2^61-1 + winnowing
+    // 16-gram FNV minimum replayed per char in HUGEINT SQL)
     "q39_fingerprints" -> ((s, dir) => {
       TextOps.fingerprints(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
         .orderBy("doc_id")
@@ -590,8 +594,141 @@ object SparkEntry {
         |f AS (SELECT doc_id, (n_bytes + 255) // 256 AS n_chunks FROM v)
         |SELECT doc_id, CAST((n_chunks + 2) // 3 AS BIGINT) AS n_frames,
         |       CAST(((n_chunks + 2) // 3 - 1) * 3 AS BIGINT) AS last_frame
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // MinHash+LSH replayed end-to-end: the md5-prefix 60-bit hash family
+    // (h1 XOR rot_k(h2)), band buckets, candidate join, and Jaccard
+    // verification are all re-derived in DuckDB SQL
+    "q32_dedup_minhash" ->
+      s"""WITH $C, $S,
+         |$MinhashSql,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+         |       FROM cand c JOIN sh a ON a.doc_id = c.id_a
+         |                   JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+         |       GROUP BY 1, 2)
+         |SELECT CAST(cm.id_a AS BIGINT) AS id_a, CAST(cm.id_b AS BIGINT) AS id_b,
+         |       CAST(floor(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) * 10000) AS BIGINT) AS jacc_x10000
+         |FROM cm JOIN sz sa ON sa.doc_id = cm.id_a JOIN sz sb ON sb.doc_id = cm.id_b
+         |WHERE CAST(floor(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) * 10000) AS BIGINT) >= 6000
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SimHash replayed end-to-end: FNV-1a-64 per word (per-char
+    // list_reduce in mod-2^64 HUGEINT arithmetic), per-bit majority vote,
+    // then the BRUTE hamming<=3 pair join — which simhashPairs's chunk
+    // blocking provably equals (pigeonhole; also asserted vs brute in the
+    // suite)
+    "q33_dedup_simhash" ->
+      s"""WITH $C,
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '), w ->
+         |      list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+         |          list_transform(string_split(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+         |        (acc, c) -> ((acc - acc % 256 + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT)) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))
+         |    ) AS hl,
+         |    len(string_split(text, ' ')) AS nw
+         |  FROM corpus),
+         |sims AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN su >= CAST(9223372036854775808 AS HUGEINT)
+         |              THEN su - CAST(18446744073709551616 AS HUGEINT) ELSE su END AS BIGINT) AS sim
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_sum(list_transform(range(0, 64), b ->
+         |        CASE WHEN 2 * len(list_filter(hl, h -> (h >> b) % 2 = 1)) > nw
+         |             THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)) AS su
+         |    FROM hs))
+         |SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+         |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // random-hyperplane LSH replayed: the seeded plane literals are
+    // interpolated into the SQL verbatim (shortest-repr doubles
+    // round-trip exactly), buckets re-derived per vector, and the
+    // radius-3 multiprobe set {bucket XOR m : popcount(m) <= 3} expressed
+    // as its equivalent hamming join
+    "q36_sim_lsh" -> {
+      val bucketExpr = (0 until LshOracleNumPlanes).map { i =>
+        s"(CASE WHEN list_dot_product(emb, ${planeLiteral(LshOraclePlanes(i))}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n       + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |d AS (SELECT vec_id, emb,
+         |       $bucketExpr AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket FROM d WHERE vec_id % 50 = 0),
+         |c AS (SELECT q.query_id, d.vec_id,
+         |        list_dot_product(d.emb, q.q_emb)
+         |        / (sqrt(list_dot_product(d.emb, d.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cos
+         |      FROM d JOIN q ON bit_count(xor(d.bucket, q.q_bucket)) <= 3 AND d.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM c)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // fingerprints replayed: the rolling mod-2^61-1 polynomial and the
+    // winnowing 16-gram FNV minimum re-derived per char in HUGEINT SQL
+    "q39_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT)) AS cs FROM documents),
+        |f AS (
+        |  SELECT doc_id, cs, len(cs) AS n,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+        |      (acc, c) -> (acc*257 + c + 1) % CAST(2305843009213693951 AS HUGEINT)) AS BIGINT) AS fp
+        |  FROM t)
+        |SELECT doc_id, fp,
+        |  CASE WHEN n < 16 THEN fp ELSE
+        |    list_min(list_transform(range(1, n - 14), i ->
+        |      CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), cs[i:i+15]),
+        |        (acc, c) -> ((acc - acc % 256 + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT)) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+        |      ) % CAST(9223372036854775808 AS HUGEINT) AS BIGINT)))
+        |  END AS min_shingle_fp
         |FROM f ORDER BY doc_id""".stripMargin
   )
+
+  // --- q32/q36 oracle SQL generators ---------------------------------------
+
+  /** DuckDB twin of [[Dedup.rot60]]/[[Dedup.md5Half]]: the k-th minhash
+    * function over the two md5-prefix halves, as SQL text.
+    */
+  private def rotSql(k: Int): String =
+    if (k == 0) "h2"
+    else s"((h2 & ${(1L << (60 - k)) - 1}) << $k) | (h2 >> ${60 - k})"
+
+  /** Signature + banding + candidate CTEs for the q32 oracle, generated
+    * from the SAME constants as [[Dedup.minhashSignatures]]/[[Dedup.minhashLsh]].
+    */
+  private def MinhashSql: String = {
+    val mins = (0 until Dedup.NumHashes)
+      .map(k => s"min(xor(h1, ${rotSql(k)})) AS mh$k").mkString(",\n    ")
+    val rowsPerBand = Dedup.NumHashes / Dedup.Bands
+    val bands = (0 until Dedup.Bands).map { bnd =>
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(k => s"mh$k").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, CAST(('0x' || substr(md5(concat_ws(',', $cols)), 1, 15)) AS BIGINT) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""hh AS (
+       |  SELECT doc_id, sh,
+       |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5(sh), 17, 15)) AS BIGINT) AS h2
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hh GROUP BY doc_id),
+       |bb AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val LshOracleNumPlanes = 4
+  private lazy val LshOraclePlanes = Similarity.planes(64, LshOracleNumPlanes)
+  private def planeLiteral(p: Array[Double]): String =
+    p.mkString("[", ", ", "]")
 
   /** The branch-free 16-bit Hilbert index (curve/Hilbert.scala, the
     * public-domain rawrunprotected algorithm) translated to DuckDB SQL

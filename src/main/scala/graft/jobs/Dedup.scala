@@ -163,15 +163,35 @@ object Dedup {
   val NumHashes = 32
   val Bands = 8 // 4 rows per band
 
-  /** MinHash signatures: 32 hash functions h_k(sh) = xxhash64(k || sh),
-    * element-wise min per doc in ONE groupBy pass (32 min aggregates, no
-    * 32x row explosion).
+  /** The 60-bit hash family behind MinHash: one md5 per shingle yields
+    * two independent 60-bit uniforms h1/h2 (hex prefix halves), and
+    * h_k = h1 XOR rot_k(h2) derives the 32 functions with pure bit ops —
+    * cheaper than 32 independent string hashes AND exactly replayable by
+    * the DuckDB oracle (which has md5 but not Spark's xxhash64). 60 bits
+    * (15 hex chars) keeps every value positive in a signed i64 on both
+    * engines.
+    */
+  def md5Half(c: Column, firstHexChar: Int): Column =
+    conv(substring(md5(c.cast("binary")), firstHexChar, 15), 16, 10).cast("long")
+
+  /** rotate-left of a 60-bit value by k (0 <= k < 60), overflow-free:
+    * low (60-k) bits shifted up, top k bits wrapped down.
+    */
+  def rot60(v: Column, k: Int): Column =
+    if (k == 0) v
+    else shiftleft(v.bitwiseAND(lit((1L << (60 - k)) - 1)), k)
+      .bitwiseOR(shiftrightunsigned(v, 60 - k))
+
+  /** MinHash signatures: h_k(sh) = h1(sh) XOR rot_k(h2(sh)), element-wise
+    * min per doc in ONE groupBy pass (32 min aggregates over two md5
+    * halves, no 32x row explosion).
     */
   def minhashSignatures(corpus: DataFrame): DataFrame = {
     val sh = corpus.withColumn("sh", explode(shingles(col("text"))))
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"),
+        md5Half(col("sh"), 1).as("h1"), md5Half(col("sh"), 17).as("h2"))
     val mins = (0 until NumHashes).map(k =>
-      min(xxhash64(lit(k), col("sh"))).as(s"mh$k"))
+      min(col("h1").bitwiseXOR(rot60(col("h2"), k))).as(s"mh$k"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -185,7 +205,10 @@ object Dedup {
     val rowsPerBand = NumHashes / Bands
     val bandStructs = (0 until Bands).map { bnd =>
       val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(k => col(s"mh$k"))
-      struct(lit(bnd).as("band"), xxhash64(cols: _*).as("bucket"))
+      // band bucket = md5 of the comma-joined row values (decimal
+      // rendering is identical in Spark and DuckDB, so the oracle
+      // reproduces the buckets bit-for-bit)
+      struct(lit(bnd).as("band"), md5Half(concat_ws(",", cols: _*), 1).as("bucket"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

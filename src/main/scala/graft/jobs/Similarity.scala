@@ -49,8 +49,11 @@ object Similarity {
     */
   val DefaultPlanes = 16
 
-  /** Deterministic random hyperplanes (seeded), as literal nested arrays. */
-  private def planes(dim: Int, numPlanes: Int): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes (seeded), as literal nested arrays.
+    * Public so the DuckDB oracle can interpolate the SAME plane literals
+    * into SQL (shortest-repr Double rendering round-trips exactly).
+    */
+  def planes(dim: Int, numPlanes: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
     Array.fill(numPlanes, dim)(rnd.nextGaussian())
   }
