@@ -236,6 +236,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FlatGeobuf any-direction bridge in the gate (the format the
+    // reference's README benchmarks head-to-head): engine frame -> .fgb
+    // file (hand-rolled FlatBuffers, Hilbert-asc layout + packed R-tree)
+    // -> read back -> envelope ints. Exact: degrees roundtrip through
+    // ScaledCoord's truncating scale both ways (proven fixpoint, q12)
+    "q43_fgb_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_fgb").toString + "/docs.fgb"
+      // engine frame with one string prop (doc id), via the shared cell bridge
+      import s.implicits._
+      val cells = geo(s, dir).select(col("wkb"), col("doc_id"))
+        .as[(Array[Byte], String)]
+        .map { case (wkb, id) => (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
+          "doc", graft.codec.FeatureCodec.PString(id)))) }
+        .toDF("wkb", "props")
+      graft.sources.FlatGeobufSpark.write(cells, out)
+      graft.sources.FlatGeobufSpark.read(s, out)
+        .select(element_at(col("prop_vals"), 1).as("doc_id"),
+          col("min_lng").cast("long").as("lng"), col("min_lat").cast("long").as("lat"))
+        .orderBy("doc_id")
+    }),
+
     // spatial join, strategy 4 (J6): Hilbert-range shuffle join
     "q15_join_range" -> ((s, dir) => {
       SpatialJoin.hilbertRangeJoin(geo(s, dir), InterleavedDocs.nationRects(s, dir))
@@ -487,6 +508,9 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "q17_csv_roundtrip" ->
+      s"""WITH $P SELECT doc_id, lng, lat FROM pts ORDER BY doc_id""".stripMargin,
+
+    "q43_fgb_roundtrip" ->
       s"""WITH $P SELECT doc_id, lng, lat FROM pts ORDER BY doc_id""".stripMargin,
 
     "q15_join_range" ->

@@ -1,0 +1,197 @@
+package graft
+
+import graft.codec.FeatureCodec._
+import graft.geom.{Envelope, Wkb}
+import graft.sources.{FlatGeobuf, FlatGeobufSpark, GeoJsonIngest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FlatGeobuf bridge (the format the reference's README benchmarks
+  * head-to-head): spec-derived byte golden for the reader, writer
+  * roundtrips, indexed bbox scan, Spark bridge parity.
+  */
+class FlatGeobufSpec extends AnyFunSuite {
+
+  private def pt(lngDeg: Double, latDeg: Double, id: Long) = Feature(
+    Wkb.Pt((lngDeg * 1e7).toInt, (latDeg * 1e7).toInt),
+    Vector("doc" -> PString(s"d-$id"), "id" -> PInt64(id)))
+
+  test("reader parses a HAND-ASSEMBLED spec-conformant file (independent of our writer)") {
+    // Built byte-by-byte from the public spec (flatgeobuf.org, spec v3):
+    // magic, size-prefixed Header flatbuffer (vtable written out by hand),
+    // no index, one size-prefixed Feature with a Point geometry. This is
+    // the reader's independence check — it never touches our builder.
+    def u16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def u32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def f64le(v: Double) = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      Array.tabulate[Byte](8)(i => (bits >> (8 * i)).toByte)
+    }
+    // Header buffer (44 bytes): root uoffset 28; vtable at 4 (24 bytes:
+    // vtLen 24, tableLen 16, slots id0..id9 = 0,0,12,0,0,0,0,0,4,14);
+    // table at 28: soffset 24, features_count u64 @+4, geometry_type
+    // ubyte(Point=1) @+12, index_node_size u16(0=no index) @+14.
+    val header =
+      u32(28) ++
+        u16(24) ++ u16(16) ++
+        u16(0) ++ u16(0) ++ u16(12) ++ u16(0) ++ u16(0) ++
+        u16(0) ++ u16(0) ++ u16(0) ++ u16(4) ++ u16(14) ++
+        u32(24) ++
+        u32(1) ++ u32(0) ++ // features_count = 1 (u64 LE)
+        Array[Byte](1, 0) ++ // geometry_type = Point, 1 pad byte
+        u16(0) // index_node_size = 0
+    assert(header.length == 44)
+    // Feature buffer (56 bytes): root 12; F vtable at 4 (6B: vtLen 6,
+    // tableLen 8, geometry slot 4) + 2 pad; F table at 12 (soffset 8,
+    // uoffset->G at +4 = 12); G vtable at 20 (8B: vtLen 8, tableLen 8,
+    // ends 0, xy 4); G table at 28 (soffset 8, uoffset->xy = 4); xy
+    // vector at 36: len 2, elements 8-aligned at 40: 2.5, 1.5 degrees.
+    val feature =
+      u32(12) ++
+        u16(6) ++ u16(8) ++ u16(4) ++ u16(0) ++ // F vtable + pad
+        u32(8) ++ u32(12) ++ // F table
+        u16(8) ++ u16(8) ++ u16(0) ++ u16(4) ++ // G vtable
+        u32(8) ++ u32(4) ++ // G table
+        u32(2) ++ f64le(2.5) ++ f64le(1.5)
+    assert(feature.length == 56)
+    val file = FlatGeobuf.Magic ++ u32(header.length) ++ header ++
+      u32(feature.length) ++ feature
+
+    val h = FlatGeobuf.readHeader(file)
+    assert(h.featuresCount == 1 && h.geometryType == 1 && h.nodeSize == 0)
+    val feats = FlatGeobuf.selectAll(file)
+    assert(feats == Vector(Feature(Wkb.Pt(25000000, 15000000), Vector.empty)))
+  }
+
+  test("roundtrip: all 7 geometry types + empties + holes, exact scaled coords") {
+    def pk(x: Int, y: Int) = Wkb.pack(x, y)
+    val outer = Array(pk(0, 0), pk(10000000, 0), pk(10000000, 10000000), pk(0, 10000000), pk(0, 0))
+    val hole = Array(pk(4000000, 4000000), pk(6000000, 4000000), pk(6000000, 6000000),
+      pk(4000000, 6000000), pk(4000000, 4000000))
+    val geoms: Seq[Wkb.Geom] = Seq(
+      Wkb.Pt(15000000, -25000000),
+      Wkb.Line(Array(pk(0, 0), pk(10000000, 10000000), pk(-10000000, 5000000))),
+      Wkb.Line(Array.empty),
+      Wkb.Poly(Vector(outer, hole)),
+      Wkb.Poly(Vector.empty),
+      Wkb.MultiPt(Array(pk(10000000, 10000000), pk(20000000, 20000000))),
+      Wkb.MultiLine(Vector(Array(pk(0, 0), pk(5000000, 5000000)), Array(pk(1, 1), pk(2, 2)))),
+      Wkb.MultiPoly(Vector(Vector(outer, hole), Vector(hole))),
+      Wkb.Collection(Vector(Wkb.Pt(70, 70), Wkb.Line(Array(pk(10, 0), pk(0, 10))))))
+    val feats = geoms.zipWithIndex.map { case (g, i) =>
+      Feature(g, Vector("i" -> PInt64(i.toLong)))
+    }
+    val bytes = FlatGeobuf.write(feats)
+    val back = FlatGeobuf.selectAll(bytes)
+    // multiset equality on WKT (the writer reorders by Hilbert)
+    assert(back.map(f => Wkb.asText(f.geom)).sorted ==
+      feats.map(f => Wkb.asText(f.geom)).sorted)
+    // each geometry's property followed it through the reorder
+    val byProp = back.map(f => f.props.head._2.asInstanceOf[PInt64].v -> Wkb.asText(f.geom)).toMap
+    feats.foreach { f =>
+      assert(byProp(f.props.head._2.asInstanceOf[PInt64].v) == Wkb.asText(f.geom))
+    }
+  }
+
+  test("roundtrip: scalar property variants keep their types; Vec/Map go Json") {
+    val feats = Seq(Feature(Wkb.Pt(1, 2), Vector(
+      "b" -> PBool(true), "i8" -> PInt8(-5), "u8" -> PUInt8(200),
+      "i16" -> PInt16(-1000), "u16" -> PUInt16(60000),
+      "i32" -> PInt32(-123456), "u32" -> PUInt32(4000000000L),
+      "i64" -> PInt64(Long.MinValue), "u64" -> PUInt64(-1L),
+      "f32" -> PFloat32(1.5f), "f64" -> PFloat64(math.Pi),
+      "s" -> PString("héllo"), "bin" -> PBytes(Array[Byte](1, 2, 3)),
+      "v" -> PVec(Vector(PInt64(7), PString("x"))))))
+    val back = FlatGeobuf.selectAll(FlatGeobuf.write(feats))
+    val props = back.head.props.toMap
+    assert(props("b") == PBool(true) && props("i8") == PInt8(-5) && props("u8") == PUInt8(200))
+    assert(props("i16") == PInt16(-1000) && props("u16") == PUInt16(60000))
+    assert(props("i32") == PInt32(-123456) && props("u32") == PUInt32(4000000000L))
+    assert(props("i64") == PInt64(Long.MinValue) && props("u64") == PUInt64(-1L))
+    assert(props("f32") == PFloat32(1.5f) && props("f64") == PFloat64(math.Pi))
+    assert(props("s") == PString("héllo"))
+    assert(props("bin").asInstanceOf[PBytes].v.toSeq == Seq[Byte](1, 2, 3))
+    // Vec flattens to its Json string form (documented scope)
+    assert(props("v").isInstanceOf[PString])
+    // property ORDER within each feature is preserved
+    assert(back.head.props.map(_._1) == feats.head.props.map(_._1))
+  }
+
+  test("layout: features sorted by ASCENDING hilbert (FGB convention, opposite of geomedea)") {
+    val feats = (0 until 50).map(i => pt(i * 0.1, i * 0.1, i.toLong))
+    val bytes = FlatGeobuf.write(feats)
+    val ids = FlatGeobuf.selectAll(bytes)
+      .map(_.props.collectFirst { case ("id", PInt64(v)) => v }.get)
+    val gm = graft.sources.GeomedeaFile.selectAll(
+      graft.sources.GeomedeaFile.write(feats, compressed = false))
+      .map(_.props.collectFirst { case ("id", PInt64(v)) => v }.get)
+    assert(ids == gm.reverse, "FGB asc order must be the exact reverse of geomedea's desc")
+  }
+
+  test("indexed bbox scan: equals full-scan + filter, prunes feature decodes") {
+    val hot = (0 until 200).map(i => pt(5 + (i % 20) * 0.01, 5 + (i / 20) * 0.01, i.toLong))
+    val far = (0 until 100).map(i => pt(120 + i * 0.1, -40 + i * 0.2, 1000L + i))
+    val bytes = FlatGeobuf.write(hot ++ far)
+    for (q <- Seq(
+      Envelope.fromDegrees(4.9, 4.9, 5.05, 5.05),
+      Envelope.fromDegrees(119, -41, 131, -19),
+      Envelope.fromDegrees(-180, -90, 180, 90),
+      Envelope.fromDegrees(60, 60, 61, 61))) {
+      val read = FlatGeobuf.selectBbox(bytes, q)
+      val expect = FlatGeobuf.selectAll(bytes).filter(_.geom.envelope.intersects(q))
+      assert(read.features.map(f => Wkb.asText(f.geom)) ==
+        expect.map(f => Wkb.asText(f.geom)), s"rows for $q")
+      assert(read.featureBlocksRead == expect.length.toLong)
+      if (expect.length < 150 && expect.nonEmpty) {
+        assert(read.bytesRead < bytes.length / 2, s"pruned read for $q")
+        val total = FlatGeobuf.treeBytes(300, FlatGeobuf.DefaultNodeSize) / FlatGeobuf.NodeBytes
+        assert(read.nodesVisited < total, "index traversal must prune subtrees")
+      }
+    }
+    // empty file edge
+    val empty = FlatGeobuf.write(Seq.empty)
+    assert(FlatGeobuf.selectAll(empty).isEmpty)
+    assert(FlatGeobuf.selectBbox(empty, Envelope.fromDegrees(0, 0, 1, 1)).features.isEmpty)
+  }
+
+  test("header: extent, column schema, feature count") {
+    val feats = (0 until 20).map(i => pt(i * 1.0, -i * 1.0, i.toLong))
+    val w = FlatGeobuf.writeFull(feats, name = "t")
+    val h = FlatGeobuf.readHeader(w.bytes)
+    assert(h.name == "t" && h.featuresCount == 20 && h.geometryType == 1)
+    assert(h.colNames.toSeq == Seq("doc", "id"))
+    val (mnx, mny, mxx, mxy) = h.envelope.get
+    assert(mnx == 0.0 && mxx == 19.0 && mny == -19.0 && mxy == 0.0)
+    assert(h.featuresOffset == w.featuresOffset && h.indexOffset == w.indexOffset)
+  }
+
+  test("Spark bridge: write -> read parity and pruned readDir") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("fgb_spark").toString
+    val feats = (0 until 60).map(i => pt(i % 10, i / 10, i.toLong))
+    // functional write from an engine frame
+    import spark.implicits._
+    def frame(fs: Seq[Feature]) = fs.map(f => (Wkb.write(f.geom),
+        f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) }))
+      .toDF("wkb", "props")
+    FlatGeobufSpark.write(frame(feats), s"$dir/a.fgb")
+    FlatGeobufSpark.write(frame(feats.take(30)), s"$dir/b.fgb")
+
+    val one = FlatGeobufSpark.read(spark, s"$dir/a.fgb")
+    assert(one.count() == 60)
+    assert(one.columns.contains("min_lng"))
+    val all = FlatGeobufSpark.readDir(spark, dir)
+    assert(all.count() == 60 + 30)
+    // bbox-pruned dir scan equals post-filter
+    val q = Envelope.fromDegrees(-0.5, -0.5, 2.5, 2.5)
+    val pruned = FlatGeobufSpark.readDir(spark, dir, Some(q)).count()
+    val brute = all.where(
+      org.apache.spark.sql.functions.col("max_lng") >= q.minLng &&
+        org.apache.spark.sql.functions.col("max_lat") >= q.minLat &&
+        org.apache.spark.sql.functions.col("min_lng") <= q.maxLng &&
+        org.apache.spark.sql.functions.col("min_lat") <= q.maxLat).count()
+    assert(pruned == brute)
+  }
+}
