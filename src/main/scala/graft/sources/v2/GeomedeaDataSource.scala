@@ -196,7 +196,7 @@ class GeomedeaTable(path: String, tableSchema: StructType = GeomedeaTable.Schema
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema == GeomedeaTable.Schema,
       "geomedea reads use the source's own schema; user-specified read schemas are unsupported")
@@ -381,6 +381,14 @@ class GeomedeaScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new GeomedeaReaderFactory(bbox, required, limit,
       new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()))
+
+  /** Streaming read (`spark.readStream.format("geomedea")`): tail the
+    * shard directory, one micro-batch partition per NEW shard, with the
+    * same pushed-bbox file pruning and column pruning as the batch scan.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GeomedeaMicroBatchStream(path, bbox, required, checkpointLocation)
 }
 
 /** Sum-aggregated scan metrics. Concrete 0-arg classes, NOT a

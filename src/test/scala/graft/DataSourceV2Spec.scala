@@ -468,6 +468,58 @@ class DataSourceV2Spec extends AnyFunSuite {
       messages(err).mkString(" | "))
   }
 
+  test("streaming read: tails a growing shard lake exactly once, resumes from checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("gm_stream").toString
+    val lake = s"$base/lake"
+    val ckpt = s"$base/ckpt"
+    def writeBatch(ids: Range): Unit =
+      ids.map { i =>
+        (Wkb.write(Wkb.Pt(i * 1000000, i * 500000)),
+          Seq(graft.sources.GeoJsonIngest.toCell("id", PInt64(i.toLong))))
+      }.toDF("wkb", "props")
+        .repartition(2).write.format("geomedea").mode("append").save(lake)
+
+    def runOnce(): Set[Long] = {
+      // foreachBatch (checkpoint-recoverable, unlike the memory sink):
+      // the buffer holds exactly this run's batches, i.e. only the
+      // shards NEW since the checkpoint
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = spark.readStream.format("geomedea").load(lake)
+        .select(col("props")(0)("i").as("id"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.collect().foreach(r => got.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+
+    writeBatch(0 until 30)
+    assert(runOnce() == (0L until 30L).toSet)
+    writeBatch(30 until 50)
+    assert(runOnce() == (30L until 50L).toSet,
+      "restart from checkpoint must emit ONLY the new shards (offset roundtrip)")
+    assert(runOnce() == Set.empty, "no new shards -> empty batch")
+
+    // pushed bbox prunes whole NEW shards at streaming planning too
+    val far = spark.readStream.format("geomedea").load(lake)
+      .where(col("max_lng") >= 900000000 && col("min_lng") <= 910000000 &&
+        col("max_lat") >= -900000000 && col("min_lat") <= 900000000)
+      .select(col("props")(0)("i").as("id"))
+    val q2 = far.writeStream.format("memory").queryName("gm_stream_bbox")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // no shard extent reaches lng >= 90 deg (ids < 50 -> lng <= 4.9 deg)
+    assert(spark.table("gm_stream_bbox").count() == 0)
+  }
+
   test("typed props survive the v2 reader (same cells as the bridge)") {
     val df = spark.read.format("geomedea").load(s"$shardDir/west.geomedea")
     val cells = df.orderBy("page_offset", "feature_offset")
