@@ -263,7 +263,11 @@ object FlatGeobuf {
   private def writeGeometry(fb: FbBuilder, g: Wkb.Geom, withType: Boolean): Int = {
     def leaf(xy: Array[Double], ends: Array[Int], tpe: Int): Int = {
       val xyRef = if (xy.nonEmpty) fb.createDoubleVector(xy) else 0
-      val endsRef = if (ends.length > 1) fb.createUIntVector(ends) else 0
+      // omit ends ONLY when the reader's fallback ("one ring of all
+      // pairs"; none when xy is empty) reconstructs them exactly — a
+      // zero-point ring (ends=[0]) must stay explicit or it vanishes
+      val fallback = if (xy.isEmpty) Array.empty[Int] else Array(xy.length / 2)
+      val endsRef = if (ends.sameElements(fallback)) 0 else fb.createUIntVector(ends)
       fb.startTable(8)
       if (endsRef != 0) fb.slotRef(0, endsRef)
       if (xyRef != 0) fb.slotRef(1, xyRef)
@@ -343,10 +347,11 @@ object FlatGeobuf {
         require(c.length >= 2, "FGB Point without xy")
         Wkb.Pt(ScaledCoord.roundScaled(c(0)), ScaledCoord.roundScaled(c(1)))
       case GLine       => val c = xy; Wkb.Line(pts(c, 0, c.length / 2))
-      case GPoly       => val c = xy; Wkb.Poly(if (c.isEmpty) Vector.empty else rings(c))
+      // rings() drives off the ends FIELD, not off xy emptiness: a
+      // zero-point ring is ends=[0] with empty xy and must survive
+      case GPoly       => Wkb.Poly(rings(xy))
       case GMultiPoint => val c = xy; Wkb.MultiPt(pts(c, 0, c.length / 2))
-      case GMultiLine  => val c = xy
-        Wkb.MultiLine(if (c.isEmpty) Vector.empty else rings(c))
+      case GMultiLine  => Wkb.MultiLine(rings(xy))
       case GMultiPoly =>
         Wkb.MultiPoly(parts.map { case Wkb.Poly(r) => r
           case other => throw new IllegalArgumentException(s"MultiPolygon part: $other") })

@@ -109,4 +109,46 @@ object PropertiesSpec extends Properties("graft") {
         val brute = feats.filter(_.geom.envelope.intersects(q)).map(_.props).toSet
         got == brute && GeomedeaFile.selectAll(bytes).length == feats.length
     }
+
+  property("ranged bbox scan equals in-memory indexed scan at arbitrary windows") =
+    Prop.forAll(
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, point)),
+      envelope,
+      Gen.oneOf(12, 64, 4096, GeomedeaFile.PageBatchBytes)) {
+      (pts: List[Long], q: Envelope, batch: Int) =>
+        val feats = pts.zipWithIndex.map { case (p, i) =>
+          Feature(Wkb.Pt(Wkb.lngOf(p), Wkb.latOf(p)), Vector("i" -> PInt64(i.toLong)))
+        }
+        val bytes = GeomedeaFile.write(feats, compressed = true, pageSizeGoal = 256)
+        val ranged = GeomedeaFile.selectBboxRange(
+          (off, k) => bytes.slice(off.toInt, off.toInt + k), bytes.length.toLong, q, batch).toVector
+        ranged == GeomedeaFile.selectBboxLocated(bytes, q)
+    }
+
+  /** FGB props pool: fixed key->type mapping so FGB's globally-typed
+    * columns are satisfiable by construction.
+    */
+  private val fgbPropsGen: Gen[Vector[(String, PValue)]] = {
+    val entry: Gen[(String, PValue)] = Gen.oneOf(
+      Gen.oneOf(true, false).map(v => "b" -> (PBool(v): PValue)),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(v => "i" -> (PInt64(v): PValue)),
+      Gen.chooseNum(-1e9, 1e9).map(v => "f" -> (PFloat64(v): PValue)),
+      Gen.alphaNumStr.map(v => "s" -> (PString(v): PValue)))
+    Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, entry)).map(_.toVector)
+  }
+
+  property("FlatGeobuf container roundtrip preserves features; indexed bbox equals brute") =
+    Prop.forAll(
+      Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, Gen.zip(geomGen, fgbPropsGen))),
+      envelope) { (fs: List[(Wkb.Geom, Vector[(String, PValue)])], q: Envelope) =>
+      val feats = fs.map { case (g, p) => Feature(g, p) }
+      val bytes = graft.sources.FlatGeobuf.write(feats)
+      val back = graft.sources.FlatGeobuf.selectAll(bytes)
+      def key(f: Feature) = (Wkb.asText(f.geom), f.props)
+      def multiset(xs: Seq[Feature]) =
+        xs.map(key).groupBy(identity).view.mapValues(_.size).toMap
+      val bb = graft.sources.FlatGeobuf.selectBbox(bytes, q).features
+      val brute = back.filter(_.geom.envelope.intersects(q))
+      multiset(back) == multiset(feats) && multiset(bb) == multiset(brute)
+    }
 }
