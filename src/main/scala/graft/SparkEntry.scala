@@ -257,6 +257,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FGB through ITS DataSourceV2: docs written as banded .fgb shards,
+    // read back via spark.read.format("flatgeobuf") with a WHERE the
+    // source turns into planning-time file pruning + the bounded-transfer
+    // indexed scan — the geomedea-vs-FGB README comparison, driver-gated
+    // on both sides (q16 is the geomedea half)
+    "q44_fgb_dsv2_bbox" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_fgb2").toString
+      val framed = geo(s, dir)
+        .select(col("wkb"), col("doc_id"),
+          floor((col("lat").cast("bigint") + 900000000L) / 450000000L).cast("int").as("band"))
+        .as[(Array[Byte], String, Int)]
+      framed.collect().groupBy(_._3).foreach { case (band, rows) =>
+        val feats = rows.toSeq.map { case (wkb, id, _) =>
+          graft.codec.FeatureCodec.Feature(graft.geom.Wkb.read(wkb),
+            Vector("doc" -> graft.codec.FeatureCodec.PString(id)))
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/band$band.fgb"),
+          graft.sources.FlatGeobuf.write(feats))
+      }
+      s.read.format("flatgeobuf").load(out)
+        .where(col("max_lng") >= QueryRect.minLng && col("max_lat") >= QueryRect.minLat &&
+          col("min_lng") <= QueryRect.maxLng && col("min_lat") <= QueryRect.maxLat)
+        .select(element_at(col("prop_vals"), 1).as("doc_id"),
+          col("min_lng").cast("long").as("lng"), col("min_lat").cast("long").as("lat"))
+        .orderBy("doc_id")
+    }),
+
     // spatial join, strategy 4 (J6): Hilbert-range shuffle join
     "q15_join_range" -> ((s, dir) => {
       SpatialJoin.hilbertRangeJoin(geo(s, dir), InterleavedDocs.nationRects(s, dir))
@@ -512,6 +540,11 @@ object SparkEntry {
 
     "q43_fgb_roundtrip" ->
       s"""WITH $P SELECT doc_id, lng, lat FROM pts ORDER BY doc_id""".stripMargin,
+
+    "q44_fgb_dsv2_bbox" ->
+      s"""WITH $P SELECT doc_id, lng, lat FROM pts
+         |WHERE lng BETWEEN -1183000000 AND -1170000000 AND lat BETWEEN 335000000 AND 345000000
+         |ORDER BY doc_id""".stripMargin,
 
     "q15_join_range" ->
       s"""WITH $P, $R SELECT r.poly_id, p.doc_id FROM pts p JOIN rects r

@@ -676,6 +676,156 @@ object FlatGeobuf {
     Feature(geom, props)
   }
 
+  /** Header via positioned range reads only: 12 bytes (magic + header
+    * length) then the header block — never the index or features.
+    */
+  def readHeaderRanged(readRange: (Long, Int) => Array[Byte]): FgbHeader = {
+    val head = readRange(0, Magic.length + 4)
+    require(Magic.indices.forall(i => head(i) == Magic(i)), "not a FlatGeobuf file (bad magic)")
+    val hdrLen = new FbBuf(head).i32(Magic.length)
+    readHeader(head ++ readRange((Magic.length + 4).toLong, hdrLen))
+  }
+
+  /** Bounded-transfer indexed bbox scan — the exact counterpart of
+    * [[GeomedeaFile.selectBboxRange]] for the FGB layout (this pair is
+    * what lets one engine reproduce the reference README's
+    * geomedea-vs-FGB partial-download comparison): positioned range
+    * reads walk header -> needed index levels (node ranges coalesced
+    * under the same 16,000-byte threshold) -> hit feature blocks via
+    * batched forward windows (leaf offsets are non-decreasing because
+    * leaves follow the Hilbert layout). Streams with O(window) memory.
+    */
+  final class RangedFgbScan(readRange: (Long, Int) => Array[Byte], fileLen: Long,
+                            q: Envelope, batchBytes: Int)
+      extends Iterator[(Long, Feature)] { // (feature byte offset = the format's stable id, feature)
+    private var _requests = 0L
+    private var _transferred = 0L
+    def requests: Long = _requests
+    def bytesTransferred: Long = _transferred
+
+    private def fetch(off: Long, len: Int): Array[Byte] = {
+      val n = math.min(len.toLong, fileLen - off).toInt
+      _requests += 1; _transferred += n
+      readRange(off, n)
+    }
+
+    private val h = readHeaderRanged(fetch)
+
+    private val offsets: Vector[Long] = {
+      if (h.featuresCount == 0) Vector.empty
+      else {
+        require(h.nodeSize > 0, "FGB file has no index; use selectAll + filter")
+        val ranges = levelBounds(h.featuresCount, h.nodeSize)
+        val leafStart = ranges.last._1
+        val qMinX = deg(q.minLng); val qMinY = deg(q.minLat)
+        val qMaxX = deg(q.maxLng); val qMaxY = deg(q.maxLat)
+        val out = Vector.newBuilder[Long]
+        var pending: Vector[(Long, Long)] = Vector((0L, 1L))
+        while (pending.nonEmpty) {
+          val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          pending.foreach { r =>
+            if (merged.nonEmpty && (r._1 - merged.last._2) * NodeBytes <= GeomedeaFile.RangeMergeBytes)
+              merged(merged.size - 1) = (merged.last._1, r._2)
+            else merged += r
+          }
+          val bufs = merged.map { case (s, e) =>
+            (s, fetch(h.indexOffset + s * NodeBytes, ((e - s) * NodeBytes).toInt))
+          }
+          val next = Vector.newBuilder[(Long, Long)]
+          pending.foreach { case (s, e) =>
+            var idx = s
+            while (idx < e) {
+              val bi = bufs.lastIndexWhere(_._1 <= idx)
+              val (bs, buf) = bufs(bi)
+              val fb = new FbBuf(buf)
+              val o = ((idx - bs) * NodeBytes).toInt
+              val inter = !(fb.f64(o + 16) < qMinX || fb.f64(o + 24) < qMinY ||
+                fb.f64(o) > qMaxX || fb.f64(o + 8) > qMaxY)
+              if (inter) {
+                if (idx >= leafStart) out += fb.i64(o + 32)
+                else {
+                  val li = ranges.indexWhere { case (ls, le) => idx >= ls && idx < le }
+                  val first = ranges(li + 1)._1 + (idx - ranges(li)._1) * h.nodeSize
+                  next += ((first, math.min(first + h.nodeSize, ranges(li + 1)._2)))
+                }
+              }
+              idx += 1
+            }
+          }
+          pending = next.result()
+        }
+        out.result()
+      }
+    }
+
+    private var winStart = 0L
+    private var win: Array[Byte] = null
+    private val it = offsets.iterator
+
+    override def hasNext: Boolean = it.hasNext
+    override def next(): (Long, Feature) = {
+      val off = it.next()
+      if (win == null || off < winStart || off + 4 > winStart + win.length) {
+        win = fetch(h.featuresOffset + off, batchBytes)
+        winStart = off
+      }
+      val rel = (off - winStart).toInt
+      val size = new FbBuf(win).i32(rel)
+      val block: Array[Byte] =
+        if (rel + 4 + size <= win.length)
+          java.util.Arrays.copyOfRange(win, rel, rel + 4 + size)
+        else {
+          val have = win.length - rel
+          val rest = fetch(h.featuresOffset + off + have, 4 + size - have)
+          val b = new Array[Byte](4 + size)
+          System.arraycopy(win, rel, b, 0, have)
+          System.arraycopy(rest, 0, b, have, rest.length)
+          b
+        }
+      (off, readFeature(new FbBuf(block), 0, h))
+    }
+  }
+
+  def selectBboxRange(readRange: (Long, Int) => Array[Byte], fileLen: Long, q: Envelope,
+                      batchBytes: Int = GeomedeaFile.PageBatchBytes): RangedFgbScan =
+    new RangedFgbScan(readRange, fileLen, q, batchBytes)
+
+  /** Streaming full scan off a forward-only stream (skips the index),
+    * O(feature) memory, emitting (stable feature byte offset, feature).
+    * `onBlock(bytes)` fires per feature block.
+    */
+  def selectAllStream(in: java.io.DataInput, fileLen: Long,
+                      onBlock: Long => Unit = _ => ()): Iterator[(Long, Feature)] = {
+    val head12 = new Array[Byte](Magic.length + 4)
+    in.readFully(head12)
+    val hdrLen = new FbBuf(head12).i32(Magic.length)
+    val hdr = new Array[Byte](hdrLen)
+    in.readFully(hdr)
+    val h = readHeader(head12 ++ hdr)
+    var toSkip = h.featuresOffset - h.indexOffset
+    while (toSkip > 0) {
+      val skipped = in.skipBytes(math.min(toSkip, Int.MaxValue.toLong).toInt)
+      require(skipped > 0, "unexpected EOF while skipping the FGB index")
+      toSkip -= skipped
+    }
+    new Iterator[(Long, Feature)] {
+      private var pos = h.featuresOffset
+      override def hasNext: Boolean = pos < fileLen
+      override def next(): (Long, Feature) = {
+        val off = pos - h.featuresOffset
+        val sz = new Array[Byte](4)
+        in.readFully(sz)
+        val size = new FbBuf(sz).i32(0)
+        val block = new Array[Byte](4 + size)
+        System.arraycopy(sz, 0, block, 0, 4)
+        in.readFully(block, 4, size)
+        onBlock(4L + size)
+        pos += 4L + size
+        (off, readFeature(new FbBuf(block), 0, h))
+      }
+    }
+  }
+
   final case class FgbBboxRead(features: Vector[Feature], nodesVisited: Long,
                                featureBlocksRead: Long, bytesRead: Long)
 

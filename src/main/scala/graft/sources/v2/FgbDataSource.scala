@@ -1,0 +1,229 @@
+package graft.sources.v2
+
+import graft.geom.Envelope
+import graft.sources.{FlatGeobuf, GeoJson, GeoJsonIngest}
+import graft.sources.GeoJsonIngest.PropCell
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.CustomMetric
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** `spark.read.format("flatgeobuf")` — FlatGeobuf as a first-class
+  * DataSourceV2, the exact sibling of the geomedea source: WHERE
+  * filters on the envelope stat columns prune whole `.fgb` files at
+  * PLANNING (header envelope, read via two positioned range reads) and
+  * drive the bounded-transfer indexed scan at READ
+  * ([[FlatGeobuf.selectBboxRange]]: header -> needed index levels ->
+  * hit feature blocks in batched windows). Full scans stream block by
+  * block with O(feature) memory. Together with the geomedea source this
+  * reproduces the reference README's geomedea-vs-FGB comparison inside
+  * one engine, query for query.
+  *
+  * Pruning is a strict superset of the predicate; every pushed filter
+  * stays residual, so correctness never depends on the index. The
+  * source is read-only (FGB writing is [[graft.sources.FlatGeobufSpark.write]];
+  * the distributed write path of this engine is the geomedea/parquet
+  * side).
+  */
+class FgbDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "flatgeobuf"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = FgbTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "flatgeobuf source needs exactly one load(path) — a .fgb file or a directory of them"))
+    new FgbTable(path,
+      if (schema == null || schema.isEmpty) FgbTable.Schema else schema)
+  }
+}
+
+object FgbTable {
+  /** feature_offset is the feature's byte offset within the features
+    * section — the format's own stable id, identical across pruned and
+    * full scans (like geomedea's FeatureLocation).
+    */
+  final case class FgbRow(source_file: String, feature_offset: Long,
+                          wkb: Array[Byte], props: Seq[PropCell],
+                          prop_keys: Seq[String], prop_vals: Seq[String],
+                          min_lng: Int, min_lat: Int, max_lng: Int, max_lat: Int)
+
+  def rowEncoder: ExpressionEncoder[FgbRow] = ExpressionEncoder[FgbRow]()
+  val Schema: StructType = rowEncoder.schema
+
+  /** Surviving files with length and feature count: the header is read
+    * via two positioned range reads per file (12 bytes + header block),
+    * fanned out on a bounded pool like the geomedea planner; with a
+    * bbox, files whose header envelope misses the rect are dropped.
+    */
+  def scanFiles(path: String, bbox: Option[Envelope]): Seq[(String, Long, Long)] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".fgb"))
+      else Seq(st)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(32, files.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = files.map { s =>
+        scala.concurrent.Future {
+          require(s.getLen >= FlatGeobuf.Magic.length + 4,
+            s"${s.getPath}: ${s.getLen} bytes is shorter than a FlatGeobuf magic+header " +
+              "prefix — truncated or not an fgb file")
+          val in = fs.open(s.getPath)
+          val h =
+            try FlatGeobuf.readHeaderRanged((off, k) => {
+              val b = new Array[Byte](k); in.readFully(off, b); b
+            })
+            finally in.close()
+          val keep = bbox match {
+            case None => true
+            case Some(q) =>
+              h.featuresCount > 0 && h.envelope.forall { case (mnx, mny, mxx, mxy) =>
+                !(mxx < q.minLng / 1e7 || mxy < q.minLat / 1e7 ||
+                  mnx > q.maxLng / 1e7 || mny > q.maxLat / 1e7)
+              }
+          }
+          if (keep) Some((s.getPath.toString, s.getLen, h.featuresCount)) else None
+        }
+      }
+      scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration(10, "min"))
+        .flatten.sortBy(_._1)
+    } finally pool.shutdown()
+  }
+}
+
+class FgbTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"flatgeobuf.`$path`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(tableSchema == FgbTable.Schema,
+      "flatgeobuf reads use the source's own schema; user-specified read schemas are unsupported")
+    new FgbScanBuilder(path)
+  }
+}
+
+class FgbScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private val absorber = new BboxFilterAbsorber
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = FgbTable.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(absorber.absorb)
+    filters // residual: the prune is a superset
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  /** Top-level pruning only; nested-pruned schemas widened back (same
+    * struct-ordinal argument as the geomedea source).
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(requiredSchema.fields.map(f => FgbTable.Schema(f.name)))
+
+  override def build(): Scan = new FgbScan(path, absorber.bbox, pushed, required)
+}
+
+class FgbScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
+              required: StructType) extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FgbScan path=$path bbox=${bbox.getOrElse("all")} PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new GmBytesMetric, new GmRowsMetric)
+
+  private lazy val keptFiles: Seq[(String, Long, Long)] = FgbTable.scanFiles(path, bbox)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles.map(f => GeomedeaPartition(f._1): InputPartition).toArray
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(keptFiles.map(_._2).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(keptFiles.map(_._3).sum)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FgbReaderFactory(bbox, required,
+      new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()))
+}
+
+class FgbReaderFactory(bbox: Option[Envelope], required: StructType,
+                       conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GeomedeaPartition].file
+    new PartitionReader[InternalRow] {
+      private val serializer = FgbTable.rowEncoder.createSerializer()
+      private val full = FgbTable.Schema
+      private val proj = required.fields.map(f => (full.fieldIndex(f.name), f.dataType))
+      private var bytesDecoded = 0L
+      private var rowsDecoded = 0L
+      private var rangedScan: FlatGeobuf.RangedFgbScan = null
+
+      private val p = new Path(file)
+      private val fs = p.getFileSystem(conf.value)
+      private var stream: org.apache.hadoop.fs.FSDataInputStream = null
+
+      private val iter = {
+        val len = fs.getFileStatus(p).getLen
+        stream = fs.open(p)
+        val feats: Iterator[(Long, graft.codec.FeatureCodec.Feature)] = bbox match {
+          case Some(q) =>
+            // bounded transfer: header -> needed index levels -> hit blocks
+            rangedScan = FlatGeobuf.selectBboxRange((off, k) => {
+              val buf = new Array[Byte](k); stream.readFully(off, buf); buf
+            }, len, q)
+            rangedScan
+          case None =>
+            FlatGeobuf.selectAllStream(stream, len, onBlock = bytesDecoded += _)
+        }
+        feats.map { case (off, f) =>
+          rowsDecoded += 1
+          FgbTable.FgbRow(file, off, graft.geom.Wkb.write(f.geom),
+            f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) },
+            f.props.map(_._1),
+            f.props.map { case (_, v) => GeoJson.propValueString(v) },
+            f.geom.envelope.minLng, f.geom.envelope.minLat,
+            f.geom.envelope.maxLng, f.geom.envelope.maxLat)
+        }
+      }
+
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!iter.hasNext) return false
+        val fullRow = serializer(iter.next())
+        current =
+          if (proj.length == full.length) fullRow.copy()
+          else new GenericInternalRow(proj.map { case (i, dt) => fullRow.get(i, dt) })
+        true
+      }
+      override def get(): InternalRow = current
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+        if (rangedScan != null) bytesDecoded = rangedScan.bytesTransferred
+        Array(GmTaskMetric("bytesDecoded", bytesDecoded),
+          GmTaskMetric("rowsDecoded", rowsDecoded))
+      }
+      override def close(): Unit = if (stream != null) { stream.close(); stream = null }
+    }
+  }
+}

@@ -223,10 +223,7 @@ class GeomedeaScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
-  private var qMinLng = Int.MinValue
-  private var qMinLat = Int.MinValue
-  private var qMaxLng = Int.MaxValue
-  private var qMaxLat = Int.MaxValue
+  private val absorber = new BboxFilterAbsorber
   private var pushed = Array.empty[Filter]
   private var required: StructType = GeomedeaTable.Schema
   private var limit: Option[Int] = None
@@ -262,48 +259,10 @@ class GeomedeaScanBuilder(path: String)
     if (isCountStarOnly(agg)) { countPushed = true; true } else false
   }
 
-  private def asInt(v: Any): Option[Int] = v match {
-    case n: java.lang.Number =>
-      val l = n.longValue()
-      Some(math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, l)).toInt)
-    case _ => None
-  }
-
-  /** Returns true when the filter tightened the query rect (superset
-    * semantics: the rect's closed-interval intersection admits every row
-    * the filter admits — see class doc for the max>=min argument).
-    */
-  private def absorb(f: Filter): Boolean = f match {
-    case And(l, r) =>
-      val a = absorb(l); val b = absorb(r); a || b
-    case GreaterThanOrEqual(c, v) => lower(c, v)
-    case GreaterThan(c, v)        => lower(c, v)
-    case LessThanOrEqual(c, v)    => upper(c, v)
-    case LessThan(c, v)           => upper(c, v)
-    case EqualTo(c, v)            => val a = lower(c, v); val b = upper(c, v); a || b
-    case _                        => false
-  }
-
-  private def lower(col: String, v: Any): Boolean = asInt(v) match {
-    case Some(i) => col match {
-      case "max_lng" | "min_lng" => qMinLng = math.max(qMinLng, i); true
-      case "max_lat" | "min_lat" => qMinLat = math.max(qMinLat, i); true
-      case _                     => false
-    }
-    case None => false
-  }
-
-  private def upper(col: String, v: Any): Boolean = asInt(v) match {
-    case Some(i) => col match {
-      case "min_lng" | "max_lng" => qMaxLng = math.min(qMaxLng, i); true
-      case "min_lat" | "max_lat" => qMaxLat = math.min(qMaxLat, i); true
-      case _                     => false
-    }
-    case None => false
-  }
-
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(absorb)
+    // superset semantics (see BboxFilterAbsorber): the absorbed rect's
+    // closed-interval intersection admits every row the filter admits
+    pushed = filters.filter(absorber.absorb)
     filters // all filters stay residual: the index prune is a superset
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -316,10 +275,7 @@ class GeomedeaScanBuilder(path: String)
     required = StructType(requiredSchema.fields.map(f => GeomedeaTable.Schema(f.name)))
 
   override def build(): Scan = {
-    val bbox =
-      if (qMinLng == Int.MinValue && qMinLat == Int.MinValue &&
-        qMaxLng == Int.MaxValue && qMaxLat == Int.MaxValue) None
-      else Some(Envelope(qMinLng, qMinLat, math.max(qMinLng, qMaxLng), math.max(qMinLat, qMaxLat)))
+    val bbox = absorber.bbox
     if (countPushed) {
       // invariant, enforced loudly: the header-only count is correct ONLY
       // for an unfiltered table. Catalyst never offers aggregate pushdown
