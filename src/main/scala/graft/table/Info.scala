@@ -26,8 +26,22 @@ object Info {
     sb.toString
   }
 
+  /** `info` for a single `.fgb` container (no Spark needed). */
+  def renderFgb(path: String): String = {
+    val h = graft.sources.FlatGeobuf.readHeader(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val env = h.envelope.map { case (a, b, c, d) => s"RECT($a $b,$c $d)" }.getOrElse("EMPTY")
+    s"""fgb: $path
+       |name: ${h.name}  features: ${h.featuresCount}  geometry_type: ${h.geometryType}
+       |extent: $env
+       |index: ${if (h.nodeSize == 0) "none" else s"packed R-tree, node_size ${h.nodeSize}"}
+       |columns: ${h.colNames.zip(h.colTypes).map { case (n, t) => s"$n:$t" }.mkString(", ")}
+       |""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: graft.table.Info <tableDir>")
+    require(args.length == 1, "usage: graft.table.Info <tableDir | file.fgb>")
+    if (args(0).endsWith(".fgb")) { print(renderFgb(args(0))); return }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.ui.enabled", "false").getOrCreate()

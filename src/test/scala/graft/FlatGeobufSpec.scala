@@ -153,6 +153,16 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(FlatGeobuf.selectBbox(empty, Envelope.fromDegrees(0, 0, 1, 1)).features.isEmpty)
   }
 
+  test("info CLI renders an .fgb summary") {
+    val dir = java.nio.file.Files.createTempDirectory("fgb_info").toString
+    val path = s"$dir/t.fgb"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      FlatGeobuf.write((0 until 5).map(i => pt(i, i, i.toLong)), name = "demo"))
+    val out = graft.table.Info.renderFgb(path)
+    assert(out.contains("features: 5") && out.contains("name: demo") &&
+      out.contains("node_size 16") && out.contains("doc:11"), out)
+  }
+
   test("header: extent, column schema, feature count") {
     val feats = (0 until 20).map(i => pt(i * 1.0, -i * 1.0, i.toLong))
     val w = FlatGeobuf.writeFull(feats, name = "t")
