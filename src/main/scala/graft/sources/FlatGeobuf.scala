@@ -187,9 +187,14 @@ object FlatGeobuf {
       tablePos
     }
 
-    /** Size-prefixed finished buffer: u32 LE total length + buffer. */
+    /** Size-prefixed finished buffer: u32 LE total length + buffer.
+      * prep extra is 8, not 4: alignment must hold relative to the
+      * size-prefixed BLOCK start (root uoffset + the 4-byte prefix), the
+      * layout the official FlatBuffers verifier checks — with 4, every
+      * 8-byte field would sit at offset = 4 (mod 8) within its block.
+      */
     def finishSizePrefixed(rootEndOff: Int): Array[Byte] = {
-      prep(maxAlign, 4)
+      prep(maxAlign, 4 + 4)
       putUOffset(rootEndOff)
       val out = new Array[Byte](4 + used)
       out(0) = used.toByte; out(1) = (used >> 8).toByte
@@ -606,7 +611,9 @@ object FlatGeobuf {
                              indexOffset: Long, featuresOffset: Long)
 
   def readHeader(bytes: Array[Byte]): FgbHeader = {
-    require(bytes.length >= 12 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+    // byte 7 is the PATCH version and may vary (the reference JS reader
+    // checks only the prefix + major); bytes 0-6 must match
+    require(bytes.length >= 12 && (0 until 7).forall(i => bytes(i) == Magic(i)),
       "not a FlatGeobuf file (bad magic)")
     val fb = new FbBuf(bytes)
     val hdrLen = fb.i32(Magic.length)
@@ -640,6 +647,9 @@ object FlatGeobuf {
     }
     val count = { val f = fb.field(t, 8); if (f == 0) 0L else fb.i64(f) }
     val nodeSize = { val f = fb.field(t, 9); if (f == 0) DefaultNodeSize else fb.u16(f) }
+    // spec minimum is 2 (0 = no index); 1 would make the level math loop
+    // forever — fail corrupt/adversarial headers loudly instead
+    require(nodeSize == 0 || nodeSize >= 2, s"invalid FGB index_node_size $nodeSize")
     val indexOff = (Magic.length + 4 + hdrLen).toLong
     val idxBytes = if (nodeSize == 0 || count == 0) 0L else treeBytes(count, nodeSize)
     FgbHeader(name, env, gt, cn, ct, count, nodeSize, indexOff, indexOff + idxBytes)
@@ -681,7 +691,7 @@ object FlatGeobuf {
     */
   def readHeaderRanged(readRange: (Long, Int) => Array[Byte]): FgbHeader = {
     val head = readRange(0, Magic.length + 4)
-    require(Magic.indices.forall(i => head(i) == Magic(i)), "not a FlatGeobuf file (bad magic)")
+    require((0 until 7).forall(i => head(i) == Magic(i)), "not a FlatGeobuf file (bad magic)")
     val hdrLen = new FbBuf(head).i32(Magic.length)
     readHeader(head ++ readRange((Magic.length + 4).toLong, hdrLen))
   }

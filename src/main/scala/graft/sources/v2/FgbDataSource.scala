@@ -74,37 +74,29 @@ object FgbTable {
       if (st.isDirectory)
         fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".fgb"))
       else Seq(st)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(32, files.size)))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try {
-      val futs = files.map { s =>
-        scala.concurrent.Future {
-          require(s.getLen >= FlatGeobuf.Magic.length + 4,
-            s"${s.getPath}: ${s.getLen} bytes is shorter than a FlatGeobuf magic+header " +
-              "prefix — truncated or not an fgb file")
-          val in = fs.open(s.getPath)
-          val h =
-            try FlatGeobuf.readHeaderRanged((off, k) => {
-              val b = new Array[Byte](k); in.readFully(off, b); b
-            })
-            finally in.close()
-          val keep = bbox match {
-            case None => true
-            case Some(q) =>
-              h.featuresCount > 0 && h.envelope.forall { case (mnx, mny, mxx, mxy) =>
-                !(mxx < q.minLng / 1e7 || mxy < q.minLat / 1e7 ||
-                  mnx > q.maxLng / 1e7 || mny > q.maxLat / 1e7)
-              }
+    PlannerPool.mapFiles(files) { s =>
+      require(s.getLen >= FlatGeobuf.Magic.length + 4,
+        s"${s.getPath}: ${s.getLen} bytes is shorter than a FlatGeobuf magic+header " +
+          "prefix — truncated or not an fgb file")
+      val in = fs.open(s.getPath)
+      val h =
+        try FlatGeobuf.readHeaderRanged((off, k) => {
+          val b = new Array[Byte](k); in.readFully(off, b); b
+        })
+        finally in.close()
+      // features_count 0 means UNKNOWN per spec (streamed writers), so
+      // it must never prune; only a present, non-intersecting envelope
+      // does (pruning stays a strict superset of the predicate)
+      val keep = bbox match {
+        case None => true
+        case Some(q) =>
+          h.envelope.forall { case (mnx, mny, mxx, mxy) =>
+            !(mxx < q.minLng / 1e7 || mxy < q.minLat / 1e7 ||
+              mnx > q.maxLng / 1e7 || mny > q.maxLat / 1e7)
           }
-          if (keep) Some((s.getPath.toString, s.getLen, h.featuresCount)) else None
-        }
       }
-      scala.concurrent.Await
-        .result(scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration(10, "min"))
-        .flatten.sortBy(_._1)
-    } finally pool.shutdown()
+      if (keep) Some((s.getPath.toString, s.getLen, h.featuresCount)) else None
+    }.flatten.sortBy(_._1)
   }
 }
 
@@ -158,8 +150,13 @@ class FgbScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(keptFiles.map(_._2).sum)
+    // a 0 count means UNKNOWN (spec) — summing it in would under-report
+    // and invite a bad broadcast; real row counts only when every kept
+    // file carries one (empty dirs are genuinely 0 rows)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(keptFiles.map(_._3).sum)
+      if (keptFiles.forall(_._3 > 0) || keptFiles.isEmpty)
+        java.util.OptionalLong.of(keptFiles.map(_._3).sum)
+      else java.util.OptionalLong.empty()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -187,14 +184,20 @@ class FgbReaderFactory(bbox: Option[Envelope], required: StructType,
       private val iter = {
         val len = fs.getFileStatus(p).getLen
         stream = fs.open(p)
+        def ranged(off: Long, k: Int): Array[Byte] = {
+          val buf = new Array[Byte](k); stream.readFully(off, buf); buf
+        }
+        // an index needs BOTH node_size > 0 and a trustworthy count (0 =
+        // unknown, spec-legal for streamed writers); otherwise stream the
+        // whole file — Spark re-applies the residual filters either way
+        val header = FlatGeobuf.readHeaderRanged(ranged)
+        val indexed = header.nodeSize > 0 && header.featuresCount > 0
         val feats: Iterator[(Long, graft.codec.FeatureCodec.Feature)] = bbox match {
-          case Some(q) =>
+          case Some(q) if indexed =>
             // bounded transfer: header -> needed index levels -> hit blocks
-            rangedScan = FlatGeobuf.selectBboxRange((off, k) => {
-              val buf = new Array[Byte](k); stream.readFully(off, buf); buf
-            }, len, q)
+            rangedScan = FlatGeobuf.selectBboxRange(ranged, len, q)
             rangedScan
-          case None =>
+          case _ =>
             FlatGeobuf.selectAllStream(stream, len, onBlock = bytesDecoded += _)
         }
         feats.map { case (off, f) =>

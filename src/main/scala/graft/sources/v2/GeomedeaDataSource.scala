@@ -127,32 +127,21 @@ object GeomedeaTable {
         }.sortBy(_._1)
       case _ => () // absent or stale: header-read fallback below
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(32, files.size)))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try {
-      val futs = files.map { s =>
-        scala.concurrent.Future {
-          require(s.getLen >= graft.codec.FeatureCodec.HeaderBytes,
-            s"${s.getPath}: ${s.getLen} bytes is shorter than a .geomedea header " +
-              s"(${graft.codec.FeatureCodec.HeaderBytes}) — truncated or not a geomedea file")
-          val in = fs.open(s.getPath)
-          val head = new Array[Byte](math.min(HeadBytes.toLong, s.getLen).toInt)
-          try in.readFully(0, head) finally in.close()
-          val count = graft.codec.FeatureCodec.decodeHeader(
-            new graft.codec.FeatureCodec.R(head))._3
-          val keep = bbox match {
-            case None    => true
-            case Some(q) => fileExtent(head).exists(_.intersects(q))
-          }
-          if (keep) Some((s.getPath.toString, s.getLen, count)) else None
-        }
+    PlannerPool.mapFiles(files) { s =>
+      require(s.getLen >= graft.codec.FeatureCodec.HeaderBytes,
+        s"${s.getPath}: ${s.getLen} bytes is shorter than a .geomedea header " +
+          s"(${graft.codec.FeatureCodec.HeaderBytes}) — truncated or not a geomedea file")
+      val in = fs.open(s.getPath)
+      val head = new Array[Byte](math.min(HeadBytes.toLong, s.getLen).toInt)
+      try in.readFully(0, head) finally in.close()
+      val count = graft.codec.FeatureCodec.decodeHeader(
+        new graft.codec.FeatureCodec.R(head))._3
+      val keep = bbox match {
+        case None    => true
+        case Some(q) => fileExtent(head).exists(_.intersects(q))
       }
-      scala.concurrent.Await
-        .result(scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration(10, "min"))
-        .flatten.sortBy(_._1)
-    } finally pool.shutdown()
+      if (keep) Some((s.getPath.toString, s.getLen, count)) else None
+    }.flatten.sortBy(_._1)
   }
 }
 

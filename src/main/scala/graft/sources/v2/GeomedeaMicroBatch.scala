@@ -69,17 +69,29 @@ class GeomedeaMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
     // ENTIRELY (the offset still advances past them — offsets track
     // names, not survivors, so pruned shards never replan). Filters stay
     // residual, so pruning is a superset and Spark re-applies them.
+    // Extents come from the _manifest.tsv when it covers the new shards
+    // (one read for the whole batch) and a POOLED header fan-out
+    // otherwise — a large backlog must not serialize planning on one
+    // object-store round trip per shard.
     val kept = bbox match {
       case None => fresh
       case Some(q) =>
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
-        fresh.filter { f =>
-          val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+        val dir = new org.apache.hadoop.fs.Path(path)
+        val fs = dir.getFileSystem(conf.value)
+        val manifest = GeomedeaManifest.read(fs, dir).getOrElse(Map.empty)
+        val (known, unknown) = fresh.partition(f =>
+          manifest.contains(new org.apache.hadoop.fs.Path(f).getName))
+        val keptKnown = known.filter(f =>
+          manifest(new org.apache.hadoop.fs.Path(f).getName).extent.exists(_.intersects(q)))
+        val keptUnknown = PlannerPool.mapFiles(unknown) { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = fs.getFileStatus(p)
           val head = new Array[Byte](math.min(GeomedeaTable.HeadBytes.toLong, st.getLen).toInt)
-          val in = fs.open(st.getPath)
+          val in = fs.open(p)
           try in.readFully(0, head) finally in.close()
-          GeomedeaTable.fileExtent(head).exists(_.intersects(q))
-        }
+          if (GeomedeaTable.fileExtent(head).exists(_.intersects(q))) Some(f) else None
+        }.flatten
+        (keptKnown ++ keptUnknown).sorted
     }
     kept.map(f => GeomedeaPartition(f): InputPartition).toArray
   }

@@ -26,10 +26,16 @@ object Info {
     sb.toString
   }
 
-  /** `info` for a single `.fgb` container (no Spark needed). */
+  /** `info` for a single `.fgb` container (no Spark needed). Header-only
+    * positioned reads — a 9 GB container costs the same as a 9 KB one.
+    */
   def renderFgb(path: String): String = {
-    val h = graft.sources.FlatGeobuf.readHeader(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val raf = new java.io.RandomAccessFile(path, "r")
+    val h =
+      try graft.sources.FlatGeobuf.readHeaderRanged((off, k) => {
+        val b = new Array[Byte](k); raf.seek(off); raf.readFully(b); b
+      })
+      finally raf.close()
     val env = h.envelope.map { case (a, b, c, d) => s"RECT($a $b,$c $d)" }.getOrElse("EMPTY")
     s"""fgb: $path
        |name: ${h.name}  features: ${h.featuresCount}  geometry_type: ${h.geometryType}

@@ -15,17 +15,42 @@ class FlatGeobufSpec extends AnyFunSuite {
     Wkb.Pt((lngDeg * 1e7).toInt, (latDeg * 1e7).toInt),
     Vector("doc" -> PString(s"d-$id"), "id" -> PInt64(id)))
 
+  private def u16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def u32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def f64le(v: Double) = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    Array.tabulate[Byte](8)(i => (bits >> (8 * i)).toByte)
+  }
+
+  /** Spec-conformant minimal file assembled BY HAND (vtables and all):
+    * no index, one Point feature; `count` lands in features_count (0 =
+    * unknown, per spec).
+    */
+  private def handBuiltFgb(count: Int): Array[Byte] = {
+    val header =
+      u32(28) ++
+        u16(24) ++ u16(16) ++
+        u16(0) ++ u16(0) ++ u16(12) ++ u16(0) ++ u16(0) ++
+        u16(0) ++ u16(0) ++ u16(0) ++ u16(4) ++ u16(14) ++
+        u32(24) ++
+        u32(count) ++ u32(0) ++ // features_count (u64 LE)
+        Array[Byte](1, 0) ++ // geometry_type = Point, 1 pad byte
+        u16(0) // index_node_size = 0 (no index)
+    val feature =
+      u32(12) ++
+        u16(6) ++ u16(8) ++ u16(4) ++ u16(0) ++
+        u32(8) ++ u32(12) ++
+        u16(8) ++ u16(8) ++ u16(0) ++ u16(4) ++
+        u32(8) ++ u32(4) ++
+        u32(2) ++ f64le(2.5) ++ f64le(1.5)
+    FlatGeobuf.Magic ++ u32(header.length) ++ header ++ u32(feature.length) ++ feature
+  }
+
   test("reader parses a HAND-ASSEMBLED spec-conformant file (independent of our writer)") {
     // Built byte-by-byte from the public spec (flatgeobuf.org, spec v3):
     // magic, size-prefixed Header flatbuffer (vtable written out by hand),
     // no index, one size-prefixed Feature with a Point geometry. This is
     // the reader's independence check — it never touches our builder.
-    def u16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
-    def u32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
-    def f64le(v: Double) = {
-      val bits = java.lang.Double.doubleToLongBits(v)
-      Array.tabulate[Byte](8)(i => (bits >> (8 * i)).toByte)
-    }
     // Header buffer (44 bytes): root uoffset 28; vtable at 4 (24 bytes:
     // vtLen 24, tableLen 16, slots id0..id9 = 0,0,12,0,0,0,0,0,4,14);
     // table at 28: soffset 24, features_count u64 @+4, geometry_type
@@ -60,6 +85,36 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(h.featuresCount == 1 && h.geometryType == 1 && h.nodeSize == 0)
     val feats = FlatGeobuf.selectAll(file)
     assert(feats == Vector(Feature(Wkb.Pt(25000000, 15000000), Vector.empty)))
+    // equivalence with the shared builder
+    assert(handBuiltFgb(1).toSeq == file.toSeq)
+    // patch-version byte may vary (spec: prefix + major are checked)
+    val patched = file.clone(); patched(7) = 1
+    assert(FlatGeobuf.readHeader(patched).featuresCount == 1)
+  }
+
+  test("DSv2 falls back for spec-legal index-less / unknown-count files (no prune, no crash)") {
+    val spark = sparkSession
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("fgb_noidx").toString
+    // count=1 but NO index; and count=0 = UNKNOWN (streamed writers)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/noindex.fgb"), handBuiltFgb(1))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/unknown.fgb"), handBuiltFgb(0))
+    val df = spark.read.format("flatgeobuf").load(dir)
+    assert(df.count() == 2)
+    // bbox over the point (2.5, 1.5) deg: both files must still produce
+    // their feature through the streaming fallback + residual filters
+    val hit = df.where(col("max_lng") >= 24000000 && col("min_lng") <= 26000000 &&
+      col("max_lat") >= 14000000 && col("min_lat") <= 16000000)
+    assert(hit.count() == 2)
+    // and a miss rect returns nothing, via residual filtering
+    val miss = df.where(col("max_lng") >= 900000000 && col("min_lng") <= 910000000 &&
+      col("max_lat") >= 0 && col("min_lat") <= 10000000)
+    assert(miss.count() == 0)
+    // unknown counts must not fake a 0-row statistic
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.collectFirst { case s: graft.sources.v2.FgbScan => s }.get
+    assert(!scan.estimateStatistics().numRows().isPresent)
   }
 
   test("roundtrip: all 7 geometry types + empties + holes, exact scaled coords") {
