@@ -168,6 +168,37 @@ class StreamAndAggSpec extends AnyFunSuite {
     assert(emitted.size == 3) // two sessions for user 1, one for user 2
   }
 
+  test("native format -> streaming agg: readStream(geomedea) feeds a grouped aggregation") {
+    // §2.9 closed in BOTH directions: shards stream IN through the
+    // geomedea source and drive an ordinary streaming aggregation whose
+    // final state equals the batch answer over the same lake
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = java.nio.file.Files.createTempDirectory("gm_rs_agg").toString
+    val lake = s"$base/lake"
+    def writeBatch(ids: Range): Unit =
+      ids.map { i =>
+        (graft.geom.Wkb.write(graft.geom.Wkb.Pt(i * 1000000, i * 500000)),
+          Seq(graft.sources.GeoJsonIngest.toCell("id",
+            graft.codec.FeatureCodec.PInt64(i.toLong))))
+      }.toDF("wkb", "props")
+        .repartition(2).write.format("geomedea").mode("append").save(lake)
+    writeBatch(0 until 40)
+    writeBatch(40 until 60)
+
+    val counts = spark.readStream.format("geomedea").load(lake)
+      .select((col("props")(0)("i") % 4).as("bucket"))
+      .groupBy("bucket").count()
+    val q = counts.writeStream.format("memory").queryName("gm_rs_agg")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("gm_rs_agg").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 15L, 1L -> 15L, 2L -> 15L, 3L -> 15L))
+  }
+
   test("streaming -> native format: foreachBatch writes reference-format shards per batch") {
     // the streaming story composes with the distributed .geomedea writer:
     // readStream -> foreachBatch -> write.format("geomedea") appends
