@@ -113,10 +113,13 @@ class FgbTable(path: String, tableSchema: StructType) extends Table with Support
 }
 
 class FgbScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private val absorber = new BboxFilterAbsorber
   private var pushed = Array.empty[Filter]
   private var required: StructType = FgbTable.Schema
+  private var limit: Option[Int] = None
+  private var countPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(absorber.absorb)
@@ -129,23 +132,88 @@ class FgbScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(requiredSchema.fields.map(f => FgbTable.Schema(f.name)))
 
-  override def build(): Scan = new FgbScan(path, absorber.bbox, pushed, required)
+  /** Partial push (same contract as the geomedea source): each partition
+    * emits at most n rows and Spark applies the global limit; filters
+    * block limit offers upstream because ours are all residual.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+
+  private def isCountStarOnly(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  /** Filterless COUNT(*) from headers — accepted ONLY when every file
+    * carries a REAL features_count (0 = unknown per spec, streamed
+    * writers); otherwise Spark counts normally. The header reads this
+    * decision costs are the same ones planning performs anyway.
+    */
+  private lazy val allFiles: Seq[(String, Long, Long)] = FgbTable.scanFiles(path, None)
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    isCountStarOnly(agg) && allFiles.forall(_._3 > 0)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    if (isCountStarOnly(agg) && allFiles.forall(_._3 > 0)) { countPushed = true; true }
+    else false
+
+  override def build(): Scan = {
+    val bbox = absorber.bbox
+    if (countPushed) {
+      require(pushed.isEmpty && bbox.isEmpty,
+        "COUNT(*) pushdown reached with filters absorbed — header-only count would be wrong")
+      new FgbCountScan(path, allFiles.map(_._3).sum)
+    } else new FgbScan(path, bbox, pushed, required, limit)
+  }
+}
+
+/** Complete-pushdown COUNT(*): one row from the already-read headers. */
+class FgbCountScan(path: String, total: Long) extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("count",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"FgbCountScan path=$path (header-only count)"
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(16L)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(1L)
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GeomedeaPartition("<header-count>"))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GeomedeaCountReaderFactory(total)
 }
 
 class FgbScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
-              required: StructType) extends Scan with Batch with SupportsReportStatistics {
+              required: StructType, limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"FgbScan path=$path bbox=${bbox.getOrElse("all")} PushedFilters: [${pushed.mkString(", ")}]"
+    s"FgbScan path=$path bbox=${bbox.getOrElse("all")} limit=${limit.getOrElse(-1)} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new GmBytesMetric, new GmRowsMetric)
 
   private lazy val keptFiles: Seq[(String, Long, Long)] = FgbTable.scanFiles(path, bbox)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    keptFiles.map(f => GeomedeaPartition(f._1): InputPartition).toArray
+  /** With a pushed limit and no bbox, only enough files to cover it are
+    * planned when every count is KNOWN; an unknown (0) count could hide
+    * any number of rows, so file planning stops short-cutting there and
+    * the reader-side per-partition stop carries the bound.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = limit match {
+      case Some(n) if bbox.isEmpty && keptFiles.forall(_._3 > 0) =>
+        var cum = 0L
+        keptFiles.takeWhile { f => val need = cum < n; cum += f._3; need }
+      case _ => keptFiles
+    }
+    files.map(f => GeomedeaPartition(f._1): InputPartition).toArray
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
@@ -160,11 +228,12 @@ class FgbScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FgbReaderFactory(bbox, required,
+    new FgbReaderFactory(bbox, required, limit,
       new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()))
 }
 
 class FgbReaderFactory(bbox: Option[Envelope], required: StructType,
+                       limit: Option[Int],
                        conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -192,7 +261,7 @@ class FgbReaderFactory(bbox: Option[Envelope], required: StructType,
         // whole file — Spark re-applies the residual filters either way
         val header = FlatGeobuf.readHeaderRanged(ranged)
         val indexed = header.nodeSize > 0 && header.featuresCount > 0
-        val feats: Iterator[(Long, graft.codec.FeatureCodec.Feature)] = bbox match {
+        val raw: Iterator[(Long, graft.codec.FeatureCodec.Feature)] = bbox match {
           case Some(q) if indexed =>
             // bounded transfer: header -> needed index levels -> hit blocks
             rangedScan = FlatGeobuf.selectBboxRange(ranged, len, q)
@@ -200,6 +269,9 @@ class FgbReaderFactory(bbox: Option[Envelope], required: StructType,
           case _ =>
             FlatGeobuf.selectAllStream(stream, len, onBlock = bytesDecoded += _)
         }
+        // pushed limit: per-partition stop (decoding halts with the
+        // iterator — later blocks are never read off the stream)
+        val feats = limit.fold(raw)(raw.take)
         feats.map { case (off, f) =>
           rowsDecoded += 1
           FgbTable.FgbRow(file, off, graft.geom.Wkb.write(f.geom),

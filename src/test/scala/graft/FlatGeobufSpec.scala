@@ -291,6 +291,50 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(narrow.collect().forall(_.length == 2))
   }
 
+  test("DSv2 limit + COUNT(*) pushdowns mirror the geomedea source, unknown counts fall back") {
+    val spark = sparkSession
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("fgb_push").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.fgb"),
+      FlatGeobuf.write((0 until 40).map(i => pt(i % 10, i / 10, i.toLong))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.fgb"),
+      FlatGeobuf.write((0 until 40).map(i => pt(50 + i % 10, i / 10, 100L + i))))
+    def scansOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+      }
+    // COUNT(*) answered from headers via a one-row scan
+    val agg = spark.read.format("flatgeobuf").load(dir).groupBy().count()
+    assert(scansOf(agg).exists(_.isInstanceOf[graft.sources.v2.FgbCountScan]),
+      agg.queryExecution.optimizedPlan.toString)
+    assert(agg.head().getLong(0) == 80)
+    // filtered counts fall back to a normal scan
+    val filtered = spark.read.format("flatgeobuf").load(dir)
+      .where(col("min_lng") >= 0).groupBy().count()
+    assert(!scansOf(filtered).exists(_.isInstanceOf[graft.sources.v2.FgbCountScan]))
+    assert(filtered.head().getLong(0) == 80)
+    // limit pushdown: only enough files planned
+    val lim = spark.read.format("flatgeobuf").load(dir).limit(10)
+    assert(lim.count() == 10)
+    val scan = scansOf(lim).collectFirst { case s: graft.sources.v2.FgbScan => s }.get
+    assert(scan.description().contains("limit=10"), scan.description())
+    assert(scan.toBatch.planInputPartitions().length == 1)
+    // a file with UNKNOWN count (spec 0) blocks the header-only COUNT
+    // and the file-planning shortcut, but results stay right
+    val dir2 = java.nio.file.Files.createTempDirectory("fgb_push2").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir2/known.fgb"),
+      FlatGeobuf.write((0 until 5).map(i => pt(i, i, i.toLong))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir2/unknown.fgb"), handBuiltFgb(0))
+    val agg2 = spark.read.format("flatgeobuf").load(dir2).groupBy().count()
+    assert(!scansOf(agg2).exists(_.isInstanceOf[graft.sources.v2.FgbCountScan]))
+    assert(agg2.head().getLong(0) == 6)
+    val lim2 = spark.read.format("flatgeobuf").load(dir2).limit(6)
+    val scan2 = scansOf(lim2).collectFirst { case s: graft.sources.v2.FgbScan => s }.get
+    assert(scan2.toBatch.planInputPartitions().length == 2,
+      "unknown counts must not short-cut file planning")
+    assert(lim2.count() == 6)
+  }
+
   test("geomedea vs FlatGeobuf head-to-head on the same data (the README comparison)") {
     // same 300 features in both containers; compressed geomedea should be
     // the smaller FILE (the reference's 5.1 MB vs 13 MB story) and both
