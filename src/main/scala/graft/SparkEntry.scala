@@ -264,19 +264,20 @@ object SparkEntry {
     // on both sides (q16 is the geomedea half)
     "q44_fgb_dsv2_bbox" -> ((s, dir) => {
       import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft_fgb2").toString
-      val framed = geo(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_fgb2").toString + "/shards"
+      // DISTRIBUTED v2 writer: one executor-side .fgb shard per latitude
+      // band (distinct file extents -> observable planning-time pruning)
+      geo(s, dir)
         .select(col("wkb"), col("doc_id"),
           floor((col("lat").cast("bigint") + 900000000L) / 450000000L).cast("int").as("band"))
         .as[(Array[Byte], String, Int)]
-      framed.collect().groupBy(_._3).foreach { case (band, rows) =>
-        val feats = rows.toSeq.map { case (wkb, id, _) =>
-          graft.codec.FeatureCodec.Feature(graft.geom.Wkb.read(wkb),
-            Vector("doc" -> graft.codec.FeatureCodec.PString(id)))
+        .map { case (wkb, id, band) =>
+          (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
+            "doc", graft.codec.FeatureCodec.PString(id))), band)
         }
-        java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/band$band.fgb"),
-          graft.sources.FlatGeobuf.write(feats))
-      }
+        .toDF("wkb", "props", "band")
+        .repartitionByRange(5, col("band"))
+        .write.format("flatgeobuf").mode("append").save(out)
       s.read.format("flatgeobuf").load(out)
         .where(col("max_lng") >= QueryRect.minLng && col("max_lat") >= QueryRect.minLat &&
           col("min_lng") <= QueryRect.maxLng && col("min_lat") <= QueryRect.maxLat)

@@ -37,6 +37,9 @@ import org.apache.spark.util.SerializableConfiguration
 class FgbDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "flatgeobuf"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = FgbTable.Schema
+  // true so df.write.format("flatgeobuf") hands the dataframe's schema
+  // through (the WRITE contract is wkb+props; extra columns ignored)
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
@@ -100,15 +103,30 @@ object FgbTable {
   }
 }
 
-class FgbTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+class FgbTable(path: String, tableSchema: StructType) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"flatgeobuf.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema == FgbTable.Schema,
       "flatgeobuf reads use the source's own schema; user-specified read schemas are unsupported")
     new FgbScanBuilder(path)
+  }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val s = info.schema()
+    require(s.fieldNames.contains("wkb") && s.fieldNames.contains("props"),
+      s"flatgeobuf write needs wkb + props columns; got ${s.fieldNames.mkString(",")}")
+    val expected = GeomedeaTable.Schema("props").dataType.catalogString
+    require(s(s.fieldIndex("props")).dataType.catalogString == expected,
+      s"props column must be array<PropCell> ($expected); " +
+        s"got ${s(s.fieldIndex("props")).dataType.catalogString}")
+    require(s(s.fieldIndex("wkb")).dataType == org.apache.spark.sql.types.BinaryType,
+      s"wkb column must be binary; got ${s(s.fieldIndex("wkb")).dataType.catalogString}")
+    new FgbWriteBuilder(path, info)
   }
 }
 

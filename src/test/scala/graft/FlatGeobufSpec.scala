@@ -335,6 +335,36 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(lim2.count() == 6)
   }
 
+  test("distributed write: one executor-side .fgb shard per partition, roundtrip + overwrite") {
+    val spark = sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("fgb_wr").toString + "/out"
+    val src = (0 until 60).map { i =>
+      (Wkb.write(Wkb.Pt(i * 1000000, i * 500000)),
+        Seq(GeoJsonIngest.toCell("id", PInt64(i.toLong))))
+    }.toDF("wkb", "props")
+    src.repartition(3).write.format("flatgeobuf").mode("append").save(out)
+    def shards = new java.io.File(out).listFiles.toSeq
+      .map(_.getName).filter(_.endsWith(".fgb")).sorted
+    assert(shards.length == 3 && shards.forall(!_.startsWith("_tmp")), shards)
+    val back = spark.read.format("flatgeobuf").load(out)
+    assert(back.count() == 60)
+    assert(back.select(col("props")(0)("i")).collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 60L))
+    // each shard is a standalone spec container with its own index
+    val one = FlatGeobuf.readHeader(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/${shards.head}")))
+    assert(one.nodeSize == 16 && one.featuresCount > 0)
+    // second append accumulates; overwrite truncates
+    src.repartition(1).write.format("flatgeobuf").mode("append").save(out)
+    assert(shards.length == 4)
+    assert(spark.read.format("flatgeobuf").load(out).count() == 120)
+    src.repartition(2).write.format("flatgeobuf").mode("overwrite").save(out)
+    assert(shards.length == 2)
+    assert(spark.read.format("flatgeobuf").load(out).count() == 60)
+  }
+
   test("geomedea vs FlatGeobuf head-to-head on the same data (the README comparison)") {
     // same 300 features in both containers; compressed geomedea should be
     // the smaller FILE (the reference's 5.1 MB vs 13 MB story) and both
