@@ -109,7 +109,7 @@ class FgbTable(path: String, tableSchema: StructType) extends Table with Support
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema == FgbTable.Schema,
       "flatgeobuf reads use the source's own schema; user-specified read schemas are unsupported")
@@ -248,6 +248,13 @@ class FgbScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new FgbReaderFactory(bbox, required, limit,
       new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()))
+
+  /** Streaming read: tail a growing `.fgb` lake, same model as the
+    * geomedea source (exactly-once by shard-name set difference).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FgbMicroBatchStream(path, bbox, required, checkpointLocation)
 }
 
 class FgbReaderFactory(bbox: Option[Envelope], required: StructType,

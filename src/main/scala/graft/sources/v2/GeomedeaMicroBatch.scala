@@ -103,6 +103,73 @@ class GeomedeaMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
   override def stop(): Unit = ()
 }
 
+/** Streaming READ of a `.fgb` lake — same offset/exactly-once model as
+  * [[GeomedeaMicroBatchStream]] (sorted emitted-name sets; shards are
+  * immutable once commit-renamed by [[FgbWrite]], `_tmp_` invisible),
+  * with pushed-bbox pruning of new shards from their header envelopes
+  * (read via two positioned range reads each, pooled).
+  */
+class FgbMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
+                          required: org.apache.spark.sql.types.StructType,
+                          checkpointLocation: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  private def listShards(): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Seq.empty
+    else if (fs.getFileStatus(p).isFile) Seq(p.toString)
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".fgb"))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  private var availableNowTarget: Option[GeomedeaOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(GeomedeaOffset(listShards()))
+  override def latestOffset(): Offset =
+    availableNowTarget.getOrElse(GeomedeaOffset(listShards()))
+  override def latestOffset(start: Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def initialOffset(): Offset = GeomedeaOffset(Seq.empty)
+  override def deserializeOffset(json: String): Offset = GeomedeaOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GeomedeaOffset].files.toSet
+    val fresh = end.asInstanceOf[GeomedeaOffset].files.filterNot(seen)
+    val kept = bbox match {
+      case None => fresh
+      case Some(q) =>
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
+        PlannerPool.mapFiles(fresh) { f =>
+          val in = fs.open(new org.apache.hadoop.fs.Path(f))
+          val h =
+            try graft.sources.FlatGeobuf.readHeaderRanged((off, k) => {
+              val b = new Array[Byte](k); in.readFully(off, b); b
+            })
+            finally in.close()
+          val keep = h.envelope.forall { case (mnx, mny, mxx, mxy) =>
+            !(mxx < q.minLng / 1e7 || mxy < q.minLat / 1e7 ||
+              mnx > q.maxLng / 1e7 || mny > q.maxLat / 1e7)
+          }
+          if (keep) Some(f) else None
+        }.flatten.sorted
+    }
+    kept.map(f => GeomedeaPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FgbReaderFactory(bbox, required, limit = None, conf = conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 /** Offset = the set of shard names already emitted, JSON-encoded as a
   * sorted array (deterministic equality across restarts).
   */

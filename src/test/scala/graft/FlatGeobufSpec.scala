@@ -365,6 +365,40 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(spark.read.format("flatgeobuf").load(out).count() == 60)
   }
 
+  test("streaming read: tails a growing .fgb lake exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("fgb_stream").toString
+    val lake = s"$base/lake"
+    def writeBatch(ids: Range): Unit =
+      ids.map { i =>
+        (Wkb.write(Wkb.Pt(i * 1000000, i * 500000)),
+          Seq(GeoJsonIngest.toCell("id", PInt64(i.toLong))))
+      }.toDF("wkb", "props")
+        .repartition(2).write.format("flatgeobuf").mode("append").save(lake)
+    def runOnce(): Set[Long] = {
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = spark.readStream.format("flatgeobuf").load(lake)
+        .select(col("props")(0)("i").as("id"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.collect().foreach(r => got.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    writeBatch(0 until 20)
+    assert(runOnce() == (0L until 20L).toSet)
+    writeBatch(20 until 30)
+    assert(runOnce() == (20L until 30L).toSet)
+    assert(runOnce() == Set.empty)
+  }
+
   test("geomedea vs FlatGeobuf head-to-head on the same data (the README comparison)") {
     // same 300 features in both containers; compressed geomedea should be
     // the smaller FILE (the reference's 5.1 MB vs 13 MB story) and both
