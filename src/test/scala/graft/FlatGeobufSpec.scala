@@ -399,6 +399,27 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(runOnce() == Set.empty)
   }
 
+  test("SQL over the format: CREATE TABLE USING flatgeobuf + WHERE drives the same prune") {
+    val spark = sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("fgb_sql").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/west.fgb"),
+      FlatGeobuf.write((0 until 30).map(i => pt(i % 10, i / 10, i.toLong))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/east.fgb"),
+      FlatGeobuf.write((0 until 30).map(i => pt(100 + i % 10, i / 10, 1000L + i))))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW fgb USING flatgeobuf OPTIONS (path '$dir')")
+    val out = spark.sql(
+      """SELECT element_at(prop_vals, 2) AS id FROM fgb
+        |WHERE max_lng >= 1000000000 AND min_lng <= 1100000000
+        |  AND max_lat >= 0 AND min_lat <= 100000000
+        |ORDER BY id""".stripMargin)
+    val ids = out.collect().map(_.getString(0))
+    assert(ids.length == 30 && ids.forall(_.toLong >= 1000L))
+    val scan = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.collectFirst { case s: graft.sources.v2.FgbScan => s }.get
+    assert(scan.toBatch.planInputPartitions().length == 1)
+  }
+
   test("geomedea vs FlatGeobuf head-to-head on the same data (the README comparison)") {
     // same 300 features in both containers; compressed geomedea should be
     // the smaller FILE (the reference's 5.1 MB vs 13 MB story) and both
