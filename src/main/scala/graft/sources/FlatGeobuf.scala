@@ -225,6 +225,15 @@ object FlatGeobuf {
     }
     def indirect(p: Int): Int = p + i32(p)
     def vecLen(vec: Int): Int = i32(vec)
+    /** Vector length validated against the remaining buffer — a corrupt
+      * length must throw, not attempt a multi-GB allocation.
+      */
+    def vecLenChecked(vec: Int, elemSize: Int): Int = {
+      val n = i32(vec)
+      require(n >= 0 && n.toLong * elemSize <= b.length.toLong - vec - 4,
+        s"corrupt vector length $n at $vec")
+      n
+    }
     def vecElems(vec: Int): Int = vec + 4
     def string(p: Int): String = {
       val v = indirect(p)
@@ -306,14 +315,27 @@ object FlatGeobuf {
     }
   }
 
-  private def readGeometry(fb: FbBuf, geomTable: Int, headerType: Int): Wkb.Geom = {
+  private def readGeometry(fb: FbBuf, geomTable: Int, headerType: Int): Wkb.Geom =
+    readGeometry(fb, geomTable, headerType, new GeomBudget)
+
+  /** Untrusted-input guard: corrupt `parts` uoffsets can alias subtrees
+    * into a DAG whose naive traversal is exponential (or cycle into
+    * unbounded recursion) — a total node budget per feature turns both
+    * into a clean error. Real geometries are nowhere near the cap.
+    */
+  private final class GeomBudget { var nodes: Int = 100000 }
+
+  private def readGeometry(fb: FbBuf, geomTable: Int, headerType: Int,
+                           budget: GeomBudget): Wkb.Geom = {
+    budget.nodes -= 1
+    require(budget.nodes > 0, "corrupt geometry: node budget exhausted (cyclic/aliased parts)")
     val tF = fb.field(geomTable, 6)
     val tpe = if (tF != 0) fb.u8(tF) else headerType
     def xy: Array[Double] = {
       val f = fb.field(geomTable, 1)
       if (f == 0) return Array.empty
       val v = fb.indirect(f)
-      val n = fb.vecLen(v)
+      val n = fb.vecLenChecked(v, 8)
       val out = new Array[Double](n)
       var i = 0
       while (i < n) { out(i) = fb.f64(fb.vecElems(v) + 8 * i); i += 1 }
@@ -324,7 +346,7 @@ object FlatGeobuf {
       if (f == 0) { if (nPairs == 0) Array.empty else Array(nPairs) }
       else {
         val v = fb.indirect(f)
-        Array.tabulate(fb.vecLen(v))(i => fb.i32(fb.vecElems(v) + 4 * i))
+        Array.tabulate(fb.vecLenChecked(v, 4))(i => fb.i32(fb.vecElems(v) + 4 * i))
       }
     }
     // roundScaled, not toScaled: degrees in the file are OUR toDegrees
@@ -343,8 +365,8 @@ object FlatGeobuf {
       val f = fb.field(geomTable, 7)
       require(f != 0, s"multi-part geometry type $tpe without parts")
       val v = fb.indirect(f)
-      Vector.tabulate(fb.vecLen(v))(i =>
-        readGeometry(fb, fb.indirect(fb.vecElems(v) + 4 * i), headerType = 0))
+      Vector.tabulate(fb.vecLenChecked(v, 4))(i =>
+        readGeometry(fb, fb.indirect(fb.vecElems(v) + 4 * i), headerType = 0, budget))
     }
     tpe match {
       case GPoint =>
@@ -663,6 +685,10 @@ object FlatGeobuf {
     val out = Vector.newBuilder[Feature]
     while (pos < bytes.length) {
       val len = fb.i32(pos)
+      // validate the UNTRUSTED size prefix: a corrupt non-positive value
+      // would walk backward (or spin in place) forever
+      require(len > 0 && pos + 4 + len.toLong <= bytes.length,
+        s"corrupt feature size $len at offset $pos")
       out += readFeature(fb, pos, h)
       pos += 4 + len
     }
@@ -679,7 +705,8 @@ object FlatGeobuf {
       if (pf == 0) Vector.empty[(String, PValue)]
       else {
         val v = fb.indirect(pf)
-        val bin = java.util.Arrays.copyOfRange(fb.b, fb.vecElems(v), fb.vecElems(v) + fb.vecLen(v))
+        val bin = java.util.Arrays.copyOfRange(fb.b, fb.vecElems(v),
+          fb.vecElems(v) + fb.vecLenChecked(v, 1))
         readProps(bin, h.colNames, h.colTypes)
       }
     }
@@ -826,6 +853,8 @@ object FlatGeobuf {
         val sz = new Array[Byte](4)
         in.readFully(sz)
         val size = new FbBuf(sz).i32(0)
+        require(size > 0 && pos + 4 + size.toLong <= fileLen,
+          s"corrupt feature size $size at offset $pos")
         val block = new Array[Byte](4 + size)
         System.arraycopy(sz, 0, block, 0, 4)
         in.readFully(block, 4, size)

@@ -420,6 +420,40 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(scan.toBatch.planInputPartitions().length == 1)
   }
 
+  test("fuzz: mutated containers never hang the reader (exceptions are fine, loops are not)") {
+    // planning runs on the driver over UNTRUSTED bytes — a corrupt file
+    // must fail, not spin (the index_node_size=1 class of bug). Seeded
+    // byte flips over a real container; every parse either returns or
+    // throws. The suite's own timeout is the hang detector.
+    val base = FlatGeobuf.write((0 until 50).map(i => pt(i % 10, i / 10, i.toLong)))
+    val rnd = new scala.util.Random(4242)
+    var parsed = 0; var rejected = 0
+    (0 until 300).foreach { _ =>
+      val b = base.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      try { FlatGeobuf.selectAll(b); parsed += 1 }
+      catch { case _: Throwable => rejected += 1 }
+      try { FlatGeobuf.selectBbox(b, Envelope.fromDegrees(0, 0, 5, 5)); () }
+      catch { case _: Throwable => () }
+    }
+    assert(parsed + rejected == 300)
+    // the geomedea container reader gets the same treatment
+    val gmBase = graft.sources.GeomedeaFile.write(
+      (0 until 50).map(i => pt(i % 10, i / 10, i.toLong)), compressed = true)
+    (0 until 300).foreach { _ =>
+      val b = gmBase.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      try { graft.sources.GeomedeaFile.selectAll(b); () }
+      catch { case _: Throwable => () }
+      try { graft.sources.GeomedeaFile.selectBbox(b, Envelope.fromDegrees(0, 0, 5, 5)); () }
+      catch { case _: Throwable => () }
+    }
+  }
+
   test("geomedea vs FlatGeobuf head-to-head on the same data (the README comparison)") {
     // same 300 features in both containers; compressed geomedea should be
     // the smaller FILE (the reference's 5.1 MB vs 13 MB story) and both
