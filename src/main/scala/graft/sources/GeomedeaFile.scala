@@ -88,8 +88,15 @@ object GeomedeaFile {
     Written(out.result(), extent, pageBlocks.length.toLong)
   }
 
+  /** Decoded pages can never legitimately approach this (the goal is
+    * 64 KiB + one feature); a corrupt header must throw, not attempt a
+    * multi-GB allocation before zstd rejects it.
+    */
+  val MaxDecodedPageBytes: Long = 1L << 30
+
   private def decodePage(r: R, compressed: Boolean): (Array[Byte], Long) = {
     val (encLen, decLen, count) = FeatureCodec.decodePageHeader(r)
+    require(decLen <= MaxDecodedPageBytes, s"corrupt page: decoded size $decLen")
     val enc = r.take(encLen.toInt)
     val dec =
       if (compressed) com.github.luben.zstd.Zstd.decompress(enc, decLen.toInt)
@@ -166,6 +173,7 @@ object GeomedeaFile {
     while (pi < pageCount && taken < n) {
       val ph = new R(readRange(pos, FeatureCodec.PageHeaderBytes))
       val (encLen, decLen, count) = FeatureCodec.decodePageHeader(ph)
+      require(decLen <= MaxDecodedPageBytes, s"corrupt page: decoded size $decLen")
       val enc = readRange(pos + FeatureCodec.PageHeaderBytes, encLen.toInt)
       val body =
         if (compressed) com.github.luben.zstd.Zstd.decompress(enc, decLen.toInt) else enc
@@ -323,6 +331,7 @@ object GeomedeaFile {
       }
       val rel = (pageOff - winStart).toInt
       val (encLen, decLen, _) = FeatureCodec.decodePageHeader(new R(win, rel))
+      require(decLen <= MaxDecodedPageBytes, s"corrupt page: decoded size $decLen")
       val bodyStart = rel + FeatureCodec.PageHeaderBytes
       val enc: Array[Byte] =
         if (bodyStart + encLen <= win.length)
@@ -378,6 +387,7 @@ object GeomedeaFile {
         val ph = new Array[Byte](FeatureCodec.PageHeaderBytes)
         in.readFully(ph)
         val (encLen, decLen, count) = FeatureCodec.decodePageHeader(new R(ph))
+        require(decLen <= MaxDecodedPageBytes, s"corrupt page: decoded size $decLen")
         val enc = new Array[Byte](encLen.toInt)
         in.readFully(enc)
         val body =
