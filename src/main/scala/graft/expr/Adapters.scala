@@ -46,6 +46,50 @@ object Adapters {
     new GenericInternalRow(Array[Any](e.minLng, e.minLat, e.maxLng, e.maxLat))
   }
 
+  private val GeomKind = UTF8String.fromString("geom")
+
+  /** Fused geom-span envelope over the interleaved spans array: find the
+    * kind=='geom' span, hex-decode its media_ref, stream the envelope —
+    * ONE static call replacing filter(lambda) + element_at + unhex +
+    * envelope on the headline's hot path (each of those allocates per
+    * row: the filtered ArrayData, struct copies, the UTF8String, the
+    * unhex buffer). Null when no geom span / null / malformed hex exists
+    * — the exact semantics of the composed chain (unhex yields null on
+    * bad input, and the chain null-propagates).
+    */
+  def spanEnvelope(spans: ArrayData): InternalRow = {
+    val n = spans.numElements()
+    var i = 0
+    while (i < n) {
+      val s = spans.getStruct(i, 4)
+      if (s != null && !s.isNullAt(0) && s.getUTF8String(0).equals(GeomKind)) {
+        if (s.isNullAt(2)) return null
+        val wkb = hexToBytes(s.getUTF8String(2))
+        if (wkb == null) return null
+        val e = Wkb.envelopeOf(wkb)
+        return new GenericInternalRow(Array[Any](e.minLng, e.minLat, e.maxLng, e.maxLat))
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** unhex twin: null on odd length or non-hex chars (never throws). */
+  private def hexToBytes(hex: UTF8String): Array[Byte] = {
+    val h = hex.getBytes
+    if ((h.length & 1) != 0) return null
+    val out = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < h.length) {
+      val hi = Character.digit(h(i), 16)
+      val lo = Character.digit(h(i + 1), 16)
+      if (hi < 0 || lo < 0) return null
+      out(i / 2) = ((hi << 4) | lo).toByte
+      i += 2
+    }
+    out
+  }
+
   def asText(wkb: Array[Byte]): UTF8String = UTF8String.fromString(Wkb.asTextBytes(wkb))
 
   def containsWkb(wkb: Array[Byte], lng: Int, lat: Int): Boolean =

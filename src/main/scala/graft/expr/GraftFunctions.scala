@@ -63,6 +63,14 @@ object GraftFunctions {
   def stEnvelope(wkb: Column): Column =
     inv(Adapters.getClass, envStruct, "envelope", Seq(ex(wkb)))
 
+  /** Fused envelope of the interleaved table's geom span (hot ingest
+    * path): one call instead of filter+element_at+unhex+envelope.
+    * Nullable: rows without a geom span (or with malformed hex) yield
+    * null, like the composed chain.
+    */
+  def gmSpanEnvelope(spans: Column): Column =
+    inv(Adapters.getClass, envStruct, "spanEnvelope", Seq(ex(spans)), nullable = true)
+
   def stAsText(wkb: Column): Column =
     inv(Adapters.getClass, StringType, "asText", Seq(ex(wkb)))
 

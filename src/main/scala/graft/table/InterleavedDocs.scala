@@ -76,7 +76,11 @@ object InterleavedDocs {
   def withGeometry(docs: DataFrame): DataFrame = {
     val geomRef = element_at(filter(col("spans"), s => s.getField("kind") === "geom"), 1)
       .getField("media_ref")
-    val env = stEnvelope(unhex(geomRef))
+    // env via the FUSED span expression (one static call per row instead
+    // of filter+element_at+unhex+envelope — measured ~4% on the headline,
+    // identical values); wkb keeps the composed chain and is pruned away
+    // by Catalyst when a query never touches it
+    val env = gmSpanEnvelope(col("spans"))
     docs
       .withColumn("wkb", unhex(geomRef))
       .withColumn("env", env)
