@@ -144,6 +144,22 @@ object SparkEntry {
       s.read.format("geomedea").load(out).groupBy().count()
     }),
 
+    // table maintenance: a RANDOMLY-partitioned multi-shard lake (every
+    // shard extent ~= global, the worst case appends converge to) is
+    // re-clustered by Compact.compact (global Hilbert-desc rewrite via
+    // the v2 writer, truncate-at-commit), then bbox-read through the
+    // DSv2 — planning-time pruning restored, rows identical to q16's
+    "q45_compacted_bbox" -> ((s, dir) => {
+      val out = writeDsv2Shards(s, dir, "graft_cmp", _.repartition(6))
+      graft.jobs.Compact.compact(s, out, numShards = 4)
+      s.read.format("geomedea").load(out)
+        .where(col("max_lng") >= QueryRect.minLng && col("max_lat") >= QueryRect.minLat &&
+          col("min_lng") <= QueryRect.maxLng && col("min_lat") <= QueryRect.maxLat)
+        .select(element_at(col("prop_vals"), 1).as("doc_id"),
+          col("min_lng").cast("long").as("lng"), col("min_lat").cast("long").as("lat"))
+        .orderBy("doc_id")
+    }),
+
     // cell cover of build-side polygons (H3/S2 analog generator)
     "q10_cell_cover" -> ((s, dir) => {
       InterleavedDocs.nationRects(s, dir)
@@ -538,6 +554,11 @@ object SparkEntry {
 
     "q17_csv_roundtrip" ->
       s"""WITH $P SELECT doc_id, lng, lat FROM pts ORDER BY doc_id""".stripMargin,
+
+    "q45_compacted_bbox" ->
+      s"""WITH $P SELECT doc_id, lng, lat FROM pts
+         |WHERE lng BETWEEN -1183000000 AND -1170000000 AND lat BETWEEN 335000000 AND 345000000
+         |ORDER BY doc_id""".stripMargin,
 
     "q43_fgb_roundtrip" ->
       s"""WITH $P SELECT doc_id, lng, lat FROM pts ORDER BY doc_id""".stripMargin,

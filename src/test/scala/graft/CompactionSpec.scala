@@ -1,0 +1,103 @@
+package graft
+
+import graft.codec.FeatureCodec.{Feature, PInt64, PString}
+import graft.geom.{Envelope, Wkb}
+import graft.jobs.Compact
+import graft.sources.GeomedeaFile
+import graft.sources.v2.{GeomedeaManifest, GeomedeaTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `Compact.compact`: the reference's "concatenating files = re-ingest"
+  * (SURVEY.md §2.7) as a distributed table-maintenance job. Appends
+  * create shards with overlapping extents; compaction restores the
+  * globally-Hilbert-clustered layout so planning-time file pruning works
+  * again.
+  */
+class CompactionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def pt(lngDeg: Double, latDeg: Double, id: Long) = Feature(
+    Wkb.Pt((lngDeg * 1e7).toInt, (latDeg * 1e7).toInt),
+    Vector("doc" -> PString(s"doc-$id"), "id" -> PInt64(id)))
+
+  /** A lake of `files` shards, EACH containing both west (~[0,10] deg)
+    * and east (~[100,110] deg) points — every shard's extent spans the
+    * globe, the worst case appends converge to.
+    */
+  private def overlappingLake(files: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("gm_compact").toString
+    for (f <- 0 until files) {
+      val feats = (0 until 20).map { i =>
+        val id = (f * 100 + i).toLong
+        if (i % 2 == 0) pt(i % 10, i / 2, id) else pt(100 + i % 10, i / 2, id)
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(f"$dir/append-$f%02d.geomedea"),
+        GeomedeaFile.write(feats, compressed = true, pageSizeGoal = 256))
+    }
+    dir
+  }
+
+  private def idsAt(dir: String): Set[(Long, Int, Int)] =
+    spark.read.format("geomedea").load(dir)
+      .select(element_at(col("prop_vals"), 2).cast("long"), col("min_lng"), col("min_lat"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+  test("compaction restores planning-time pruning and preserves every row") {
+    val dir = overlappingLake(6)
+    val east = Envelope.fromDegrees(100, 0, 110, 10)
+    val before = idsAt(dir)
+    assert(before.size == 120)
+    // worst case: every appended shard overlaps the east rect -> planning
+    // keeps all 6 files
+    assert(GeomedeaTable.scanFiles(dir, Some(east)).size == 6)
+
+    val written = Compact.compact(spark, dir, numShards = 6)
+    assert(written == 6)
+
+    // same rows, byte-identical stats, through the compacted layout
+    assert(idsAt(dir) == before)
+    // globally Hilbert-clustered shards have localized extents: the east
+    // rect now plans a STRICT subset of files (the two point clusters
+    // are far apart on the curve, so at most half the shards + one
+    // boundary shard can touch east)
+    val plannedEast = GeomedeaTable.scanFiles(dir, Some(east)).size
+    assert(plannedEast < 6, s"expected < 6 planned files after compaction, got $plannedEast")
+    val west = Envelope.fromDegrees(0, 0, 10, 10)
+    val plannedWest = GeomedeaTable.scanFiles(dir, Some(west)).size
+    assert(plannedWest < 6, s"expected < 6 planned files after compaction, got $plannedWest")
+    // both rects still return exactly their cluster
+    val eastRows = spark.read.format("geomedea").load(dir)
+      .where(col("max_lng") >= east.minLng && col("max_lat") >= east.minLat &&
+        col("min_lng") <= east.maxLng && col("min_lat") <= east.maxLat).count()
+    assert(eastRows == 60)
+    // commit refreshed the manifest: one planning read covers the lake
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest = GeomedeaManifest.read(fs, p)
+    assert(manifest.isDefined && manifest.get.size == 6)
+    // old append-* shards are gone (truncate at commit)
+    assert(fs.listStatus(p).forall(s => !s.getPath.getName.startsWith("append-")))
+  }
+
+  test("auto shard sizing targets targetShardBytes; empty lake is a no-op") {
+    val dir = overlappingLake(4)
+    // tiny target -> many shards; huge target -> one shard
+    val many = Compact.compact(spark, dir, targetShardBytes = 512)
+    assert(many > 1)
+    val one = Compact.compact(spark, dir, targetShardBytes = Long.MaxValue >> 1)
+    assert(one == 1)
+    assert(idsAt(dir).size == 80)
+    val empty = java.nio.file.Files.createTempDirectory("gm_compact_e").toString
+    assert(Compact.compact(spark, empty) == 0)
+    assert(Compact.compact(spark, empty + "/missing") == 0)
+  }
+}
