@@ -45,17 +45,28 @@ object Compact {
     * (0 = size the shard count from the current lake bytes /
     * `targetShardBytes`; range partitioning may yield fewer when the
     * key space is tiny). Returns the number of shards actually written,
-    * 0 for an empty or absent lake (no-op).
+    * 0 for an empty or absent lake (no-op). `format` picks the
+    * container: `"geomedea"` (default) or `"flatgeobuf"` — both DSv2
+    * sources share the row surface (wkb/props + envelope stats) and the
+    * truncate-at-commit overwrite protocol, so the same maintenance job
+    * serves both lakes.
     */
   def compact(spark: SparkSession, dir: String, numShards: Int = 0,
               compressed: Boolean = true,
-              targetShardBytes: Long = DefaultTargetShardBytes): Int = {
+              targetShardBytes: Long = DefaultTargetShardBytes,
+              format: String = "geomedea"): Int = {
     require(numShards >= 0, s"numShards must be >= 0; got $numShards")
+    val suffix = format match {
+      case "geomedea"   => ".geomedea"
+      case "flatgeobuf" => ".fgb"
+      case other => throw new IllegalArgumentException(
+        s"unsupported compaction format '$other' (geomedea | flatgeobuf)")
+    }
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val shards =
       if (fs.exists(p))
-        fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".geomedea"))
+        fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
       else Seq.empty
     if (shards.isEmpty) return 0
     val totalBytes = shards.map(_.getLen).sum
@@ -65,15 +76,16 @@ object Compact {
 
     // envelope stats come straight off the scan (decoded once per row by
     // the reader); spans/props beyond the write contract are pruned
-    val docs = spark.read.format("geomedea").load(dir)
+    val docs = spark.read.format(format).load(dir)
       .select("wkb", "props", "min_lng", "min_lat", "max_lng", "max_lat")
     val ext = Ingest.extent(docs)
-    Ingest.withHilbert(docs, ext)
+    val clustered = Ingest.withHilbert(docs, ext)
       .repartitionByRange(n, col("hilbert").desc)
       .select("wkb", "props")
-      .write.format("geomedea").mode("overwrite")
-      .option("compressed", compressed.toString)
+      .write.format(format).mode("overwrite")
+    (if (format == "geomedea") clustered.option("compressed", compressed.toString)
+     else clustered)
       .save(dir)
-    fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".geomedea"))
+    fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(suffix))
   }
 }

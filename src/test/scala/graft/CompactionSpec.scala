@@ -88,6 +88,30 @@ class CompactionSpec extends AnyFunSuite {
     assert(fs.listStatus(p).forall(s => !s.getPath.getName.startsWith("append-")))
   }
 
+  test("flatgeobuf lakes compact through the same job") {
+    val dir = java.nio.file.Files.createTempDirectory("fgb_compact").toString
+    for (f <- 0 until 4) {
+      val feats = (0 until 20).map { i =>
+        val id = (f * 100 + i).toLong
+        if (i % 2 == 0) pt(i % 10, i / 2, id) else pt(100 + i % 10, i / 2, id)
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(f"$dir/append-$f%02d.fgb"),
+        graft.sources.FlatGeobuf.write(feats))
+    }
+    val east = Envelope.fromDegrees(100, 0, 110, 10)
+    def ids(): Set[Long] = spark.read.format("flatgeobuf").load(dir)
+      .select(element_at(col("prop_vals"), 2).cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val before = ids()
+    assert(before.size == 80)
+    assert(graft.sources.v2.FgbTable.scanFiles(dir, Some(east)).size == 4)
+    val written = Compact.compact(spark, dir, numShards = 4, format = "flatgeobuf")
+    assert(written == 4)
+    assert(ids() == before)
+    assert(graft.sources.v2.FgbTable.scanFiles(dir, Some(east)).size < 4)
+    assert(Compact.compact(spark, dir, numShards = 2, format = "geomedea") == 0) // wrong-suffix no-op
+  }
+
   test("auto shard sizing targets targetShardBytes; empty lake is a no-op") {
     val dir = overlappingLake(4)
     // tiny target -> many shards; huge target -> one shard
