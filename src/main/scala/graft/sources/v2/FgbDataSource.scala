@@ -63,10 +63,18 @@ object FgbTable {
   def rowEncoder: ExpressionEncoder[FgbRow] = ExpressionEncoder[FgbRow]()
   val Schema: StructType = rowEncoder.schema
 
-  /** Surviving files with length and feature count: the header is read
-    * via two positioned range reads per file (12 bytes + header block),
-    * fanned out on a bounded pool like the geomedea planner; with a
-    * bbox, files whose header envelope misses the rect are dropped.
+  /** Surviving files with length and feature count. Fast path: a
+    * directory written by the v2 writer carries the same `_manifest.tsv`
+    * a geomedea lake does (validated for exact name+length coverage,
+    * else ignored) — ONE driver read plans a 100k-shard lake. Manifest
+    * extents were rounded OUTWARD from the header's degree envelope
+    * (or are the writer's exact ints), so manifest pruning is a strict
+    * superset of the predicate; a count-0 entry (spec: UNKNOWN) is
+    * never pruned, mirroring the header fallback below.
+    * Fallback: the header is read via two positioned range reads per
+    * file (12 bytes + header block), fanned out on a bounded pool like
+    * the geomedea planner; with a bbox, files whose header envelope
+    * misses the rect are dropped.
     */
   def scanFiles(path: String, bbox: Option[Envelope]): Seq[(String, Long, Long)] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -77,6 +85,21 @@ object FgbTable {
       if (st.isDirectory)
         fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".fgb"))
       else Seq(st)
+    if (st.isDirectory) GeomedeaManifest.read(fs, p) match {
+      case Some(m) if m.size == files.size &&
+        files.forall(f => m.get(f.getPath.getName).exists(_.len == f.getLen)) =>
+        return files.flatMap { f =>
+          val e = m(f.getPath.getName)
+          val keep = bbox match {
+            case None    => true
+            // extent None == count unknown/empty: keep (the FGB spec's
+            // features_count=0-means-unknown rule — never prune on it)
+            case Some(q) => e.extent.forall(_.intersects(q))
+          }
+          if (keep) Some((f.getPath.toString, f.getLen, e.count)) else None
+        }.sortBy(_._1)
+      case _ => () // absent or stale: header-read fallback below
+    }
     PlannerPool.mapFiles(files) { s =>
       require(s.getLen >= FlatGeobuf.Magic.length + 4,
         s"${s.getPath}: ${s.getLen} bytes is shorter than a FlatGeobuf magic+header " +

@@ -33,7 +33,10 @@ class FgbWriteBuilder(path: String, info: LogicalWriteInfo)
   }
 }
 
-final case class FgbCommit(tmpName: String, finalName: String) extends WriterCommitMessage
+final case class FgbCommit(tmpName: String, finalName: String,
+                           bytes: Long, count: Long,
+                           minLng: Int, minLat: Int, maxLng: Int, maxLat: Int)
+    extends WriterCommitMessage
 
 class FgbBatchWrite(path: String, schema: StructType, nodeSize: Int,
                     truncate: Boolean) extends BatchWrite {
@@ -50,21 +53,67 @@ class FgbBatchWrite(path: String, schema: StructType, nodeSize: Int,
     if (truncate && fs.exists(dir))
       fs.listStatus(dir).filter(_.getPath.getName.endsWith(".fgb"))
         .foreach(s => fs.delete(s.getPath, false))
-    messages.foreach {
-      case FgbCommit(tmp, fin) =>
-        require(fs.rename(new Path(dir, tmp), new Path(dir, fin)),
-          s"failed to publish $tmp -> $fin under $path")
-      case _ => ()
+    val fresh = messages.collect {
+      case c: FgbCommit =>
+        require(fs.rename(new Path(dir, c.tmpName), new Path(dir, c.finalName)),
+          s"failed to publish ${c.tmpName} -> ${c.finalName} under $path")
+        GeomedeaManifest.Entry(c.finalName, c.bytes, c.count,
+          c.minLng, c.minLat, c.maxLng, c.maxLat)
     }
+    // extent manifest, same shape/protocol as the geomedea lake's: one
+    // planning read instead of two positioned header reads per shard.
+    // Self-healing for shards this job didn't write (old manifest entry
+    // when the byte length still matches, else a ranged header re-read).
+    val old = GeomedeaManifest.read(fs, dir).getOrElse(Map.empty[String, GeomedeaManifest.Entry])
+    val freshByName = fresh.map(e => e.name -> e).toMap
+    val entries = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".fgb"))
+      .map { s =>
+        val name = s.getPath.getName
+        freshByName.get(name)
+          .orElse(old.get(name).filter(_.len == s.getLen))
+          .getOrElse(FgbBatchWrite.headerEntry(fs, s))
+      }
+    GeomedeaManifest.write(fs, dir, entries, jobToken)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     messages.foreach {
-      case FgbCommit(tmp, _) => fs.delete(new Path(dir, tmp), false)
+      case c: FgbCommit => fs.delete(new Path(dir, c.tmpName), false)
       case _                 => ()
     }
+  }
+}
+
+object FgbBatchWrite {
+  /** Manifest entry from a shard's header alone (self-heal path for
+    * files this writer didn't produce). FGB headers carry the envelope
+    * in DEGREES (f64); rounding to scaled ints goes OUTWARD (floor min,
+    * ceil max, clamped) so the manifest extent stays a superset and
+    * pruning on it can never drop a hit. A header with no envelope but
+    * a nonzero count maps to the world extent — count>0-with-unknown-
+    * extent must never be pruned. features_count 0 (spec: UNKNOWN)
+    * keeps the geomedea manifest encoding (extent None) and the FGB
+    * planner treats it as keep-always (see FgbTable.scanFiles).
+    */
+  def headerEntry(fs: org.apache.hadoop.fs.FileSystem,
+                  s: org.apache.hadoop.fs.FileStatus): GeomedeaManifest.Entry = {
+    val in = fs.open(s.getPath)
+    val h =
+      try FlatGeobuf.readHeaderRanged((off, k) => {
+        val b = new Array[Byte](k); in.readFully(off, b); b
+      })
+      finally in.close()
+    def lo(d: Double) = math.max(Int.MinValue.toDouble, math.floor(d * 1e7)).toInt
+    def hi(d: Double) = math.min(Int.MaxValue.toDouble, math.ceil(d * 1e7)).toInt
+    val ext = h.envelope match {
+      case Some((mnx, mny, mxx, mxy)) => graft.geom.Envelope(lo(mnx), lo(mny), hi(mxx), hi(mxy))
+      case None if h.featuresCount > 0 => GeomedeaTable.World
+      case None => graft.geom.Envelope.empty
+    }
+    GeomedeaManifest.entryOf(s.getPath.getName, s.getLen, h.featuresCount, ext)
   }
 }
 
@@ -93,7 +142,9 @@ class FgbWriterFactory(path: String, schema: StructType, nodeSize: Int,
       }
 
       override def commit(): WriterCommitMessage = {
-        val bytes = FlatGeobuf.write(feats.result(), nodeSize = nodeSize)
+        val fl = feats.result()
+        val written = FlatGeobuf.writeFull(fl, nodeSize = nodeSize)
+        val bytes = written.bytes
         require(bytes.length <= graft.sources.GeomedeaSpark.MaxFileBytes,
           s"partition $partitionId: ${bytes.length} bytes > " +
             s"${graft.sources.GeomedeaSpark.MaxFileBytes}; repartition to more shards")
@@ -103,7 +154,9 @@ class FgbWriterFactory(path: String, schema: StructType, nodeSize: Int,
         wroteTmp = true
         val out = fs.create(new Path(dir, tmp), true)
         try out.write(bytes) finally out.close()
-        FgbCommit(tmp, fin)
+        FgbCommit(tmp, fin, bytes.length.toLong, fl.length.toLong,
+          written.extent.minLng, written.extent.minLat,
+          written.extent.maxLng, written.extent.maxLat)
       }
 
       override def abort(): Unit =

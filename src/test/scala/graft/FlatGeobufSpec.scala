@@ -365,6 +365,50 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(spark.read.format("flatgeobuf").load(out).count() == 60)
   }
 
+  test("manifest: fgb v2 writes publish _manifest.tsv and planning consumes it") {
+    import graft.sources.v2.{FgbTable, GeomedeaManifest}
+    val spark = sparkSession
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("fgb_manifest").toString + "/m"
+    val src = (0 until 60).map { i =>
+      (Wkb.write(Wkb.Pt(i * 1000000, i * 500000)),
+        Seq(GeoJsonIngest.toCell("id", PInt64(i.toLong))))
+    }.toDF("wkb", "props")
+    src.repartition(2).write.format("flatgeobuf").mode("append").save(out)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val m1 = GeomedeaManifest.read(fs, p)
+    assert(m1.isDefined && m1.get.size == 2)
+    assert(m1.get.values.map(_.count).sum == 60)
+    // appends refresh coverage; self-heal picks up a hand-dropped shard
+    val foreign = FlatGeobuf.write((100 until 110).map(i =>
+      Feature(Wkb.Pt(i * 1000000, 0), Vector("id" -> PInt64(i.toLong)))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/hand.fgb"), foreign)
+    src.repartition(1).write.format("flatgeobuf").mode("append").save(out)
+    val m2 = GeomedeaManifest.read(fs, p)
+    assert(m2.get.size == 4 && m2.get.values.map(_.count).sum == 130)
+    // PROOF the planner trusts a consistent manifest: forge far-away
+    // extents -> a bbox over the true data prunes everything at planning
+    val forged = m2.get.values.map(e => e.copy(minLng = 1790000000,
+      minLat = 880000000, maxLng = 1800000000, maxLat = 890000000)).toSeq
+    GeomedeaManifest.write(fs, p, forged, "forge")
+    val q = Envelope(0, 0, 10000000, 10000000)
+    assert(FgbTable.scanFiles(out, Some(q)).isEmpty,
+      "consistent manifest extents must drive fgb file pruning")
+    // count-0 entries (spec: UNKNOWN) are never pruned even when forged
+    GeomedeaManifest.write(fs, p, forged.map(_.copy(count = 0)), "unk")
+    assert(FgbTable.scanFiles(out, Some(q)).size == 4,
+      "unknown-count manifest entries must never prune")
+    // STALENESS: dropped line -> coverage fails -> header fallback answers
+    GeomedeaManifest.write(fs, p, forged.tail, "stale")
+    assert(FgbTable.scanFiles(out, Some(q)).nonEmpty,
+      "stale manifest must fall back to header reads")
+    // wrong byte length is rejected too, and reads stay correct throughout
+    GeomedeaManifest.write(fs, p, forged.map(e => e.copy(len = e.len + 1)), "badlen")
+    assert(FgbTable.scanFiles(out, Some(q)).nonEmpty)
+    assert(spark.read.format("flatgeobuf").load(out).count() == 130)
+  }
+
   test("streaming read: tails a growing .fgb lake exactly once") {
     import org.apache.spark.sql.streaming.Trigger
     val spark = sparkSession
