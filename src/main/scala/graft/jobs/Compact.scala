@@ -64,6 +64,10 @@ object Compact {
     }
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      require(fs.getFileStatus(p).isDirectory,
+        s"compact expects a shard DIRECTORY; $dir is a single file (the v2 writer " +
+          "cannot overwrite a file path with a shard dir)")
     val shards =
       if (fs.exists(p))
         fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(suffix))

@@ -123,5 +123,11 @@ class CompactionSpec extends AnyFunSuite {
     val empty = java.nio.file.Files.createTempDirectory("gm_compact_e").toString
     assert(Compact.compact(spark, empty) == 0)
     assert(Compact.compact(spark, empty + "/missing") == 0)
+    // a single-FILE path fails loudly instead of corrupting the file
+    val f = java.nio.file.Files.createTempFile("gm_one", ".geomedea")
+    java.nio.file.Files.write(f, GeomedeaFile.write(
+      Seq(pt(1, 1, 1L)), compressed = true, pageSizeGoal = 256))
+    val err = intercept[IllegalArgumentException](Compact.compact(spark, f.toString))
+    assert(err.getMessage.contains("DIRECTORY"))
   }
 }
