@@ -32,6 +32,14 @@ import org.apache.spark.sql.functions._
   * re-clustering, identical to ingest) and should be scheduled like any
   * table-maintenance job: triggered when the manifest shows extent
   * overlap, not per append.
+  *
+  * Streams: compaction rewrites ROW IDENTITY (every shard gets a fresh
+  * name), so a stream tailing the lake cannot continue exactly-once
+  * across it. The streaming sources detect the rewrite at the next
+  * micro-batch and fail with an actionable error
+  * ([[graft.sources.v2.GeomedeaOffset.requireNoRewrite]]) instead of
+  * replaying into deleted files or silently re-emitting the lake;
+  * restart tailing streams with a fresh checkpoint after compacting.
   */
 object Compact {
 

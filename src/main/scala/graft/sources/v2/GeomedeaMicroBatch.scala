@@ -64,6 +64,8 @@ class GeomedeaMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[GeomedeaOffset].files.toSet
     val fresh = end.asInstanceOf[GeomedeaOffset].files.filterNot(seen)
+    GeomedeaOffset.requireNoRewrite(path, listShards(),
+      start.asInstanceOf[GeomedeaOffset].files, end.asInstanceOf[GeomedeaOffset].files)
     // same planning-time file pruning as the batch scan: with a pushed
     // bbox, new shards whose root bounds miss the rect are skipped
     // ENTIRELY (the offset still advances past them — offsets track
@@ -142,6 +144,8 @@ class FgbMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[GeomedeaOffset].files.toSet
     val fresh = end.asInstanceOf[GeomedeaOffset].files.filterNot(seen)
+    GeomedeaOffset.requireNoRewrite(path, listShards(),
+      start.asInstanceOf[GeomedeaOffset].files, end.asInstanceOf[GeomedeaOffset].files)
     val kept = bbox match {
       case None => fresh
       case Some(q) =>
@@ -179,6 +183,28 @@ final case class GeomedeaOffset(files: Seq[String]) extends Offset {
 }
 
 object GeomedeaOffset {
+
+  /** Rewrite detection: offsets track shard NAMES, and shards are
+    * immutable once commit-renamed — so an offset-tracked name missing
+    * from the live listing means the lake was REWRITTEN underneath the
+    * stream (compaction or truncate-overwrite). Failing fast here turns
+    * two bad outcomes into one actionable error: a replayed batch would
+    * otherwise die executor-side with a bare FileNotFoundException, and
+    * a continuing stream would silently RE-EMIT every row (the rewritten
+    * shards all carry fresh names). Cost: one listing per micro-batch,
+    * which planning already pays.
+    */
+  private[v2] def requireNoRewrite(path: String, live: Seq[String],
+                                   start: Seq[String], end: Seq[String]): Unit = {
+    val liveSet = live.toSet
+    val gone = (start.iterator ++ end.iterator).filterNot(liveSet).toSeq.distinct
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"streaming offsets reference ${gone.size} shard(s) no longer present under " +
+        s"$path (e.g. ${gone.head}): the lake was rewritten (compaction or " +
+        "truncate-overwrite) while a stream was tailing it. Compaction rewrites row " +
+        "identity; restart the stream with a FRESH checkpoint over the compacted lake.")
+  }
+
   private[v2] def quote(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""

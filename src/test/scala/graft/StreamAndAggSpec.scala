@@ -199,6 +199,44 @@ class StreamAndAggSpec extends AnyFunSuite {
     assert(got == Map(0L -> 15L, 1L -> 15L, 2L -> 15L, 3L -> 15L))
   }
 
+  test("compaction under a tailing stream fails loudly, not silently re-emitting") {
+    // compaction rewrites row identity (fresh shard names); a stream
+    // resuming its checkpoint across it must NOT replay into deleted
+    // files (bare executor FileNotFound) or re-emit the whole lake —
+    // the source detects the rewrite at planning and names the fix
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("gm_rw").toString
+    val lake = s"$base/lake"
+    (0 until 40).map { i =>
+      (graft.geom.Wkb.write(graft.geom.Wkb.Pt(i * 1000000, i * 500000)),
+        Seq(graft.sources.GeoJsonIngest.toCell("id",
+          graft.codec.FeatureCodec.PInt64(i.toLong))))
+    }.toDF("wkb", "props")
+      .repartition(2).write.format("geomedea").mode("append").save(lake)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.format("geomedea").load(lake)
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.add(df.count()); ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(got.iterator().next() == 40L)
+    graft.jobs.Compact.compact(spark, lake, numShards = 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("rewritten")),
+      s"expected a rewrite-naming error, got: ${e.getMessage}")
+    // no second emission happened
+    assert(got.size() == 1, s"stream must not re-emit after a rewrite: $got")
+  }
+
   test("streaming -> native format: foreachBatch writes reference-format shards per batch") {
     // the streaming story composes with the distributed .geomedea writer:
     // readStream -> foreachBatch -> write.format("geomedea") appends
