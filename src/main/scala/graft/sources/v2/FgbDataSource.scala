@@ -85,9 +85,8 @@ object FgbTable {
       if (st.isDirectory)
         fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".fgb"))
       else Seq(st)
-    if (st.isDirectory) GeomedeaManifest.read(fs, p) match {
-      case Some(m) if m.size == files.size &&
-        files.forall(f => m.get(f.getPath.getName).exists(_.len == f.getLen)) =>
+    if (st.isDirectory) GeomedeaManifest.validated(fs, p, files) match {
+      case Some(m) =>
         return files.flatMap { f =>
           val e = m(f.getPath.getName)
           val keep = bbox match {

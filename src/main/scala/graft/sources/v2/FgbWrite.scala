@@ -63,18 +63,11 @@ class FgbBatchWrite(path: String, schema: StructType, nodeSize: Int,
     // extent manifest, same shape/protocol as the geomedea lake's: one
     // planning read instead of two positioned header reads per shard.
     // Self-healing for shards this job didn't write (old manifest entry
-    // when the byte length still matches, else a ranged header re-read).
-    val old = GeomedeaManifest.read(fs, dir).getOrElse(Map.empty[String, GeomedeaManifest.Entry])
-    val freshByName = fresh.map(e => e.name -> e).toMap
-    val entries = fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".fgb"))
-      .map { s =>
-        val name = s.getPath.getName
-        freshByName.get(name)
-          .orElse(old.get(name).filter(_.len == s.getLen))
-          .getOrElse(FgbBatchWrite.headerEntry(fs, s))
-      }
-    GeomedeaManifest.write(fs, dir, entries, jobToken)
+    // when the byte length still matches, else a ranged header re-read);
+    // best-effort per GeomedeaManifest.refresh — a corrupt foreign .fgb
+    // degrades planning to header reads, never fails a published commit.
+    GeomedeaManifest.refresh(fs, dir, ".fgb", fresh.toSeq, jobToken)(
+      FgbBatchWrite.headerEntry(fs, _))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -109,9 +102,14 @@ object FgbBatchWrite {
     def lo(d: Double) = math.max(Int.MinValue.toDouble, math.floor(d * 1e7)).toInt
     def hi(d: Double) = math.min(Int.MaxValue.toDouble, math.ceil(d * 1e7)).toInt
     val ext = h.envelope match {
-      case Some((mnx, mny, mxx, mxy)) => graft.geom.Envelope(lo(mnx), lo(mny), hi(mxx), hi(mxy))
-      case None if h.featuresCount > 0 => GeomedeaTable.World
-      case None => graft.geom.Envelope.empty
+      // non-finite doubles (NaN/Inf from a foreign writer) would cast to
+      // 0 and FORGE a point extent at the origin — wrong pruning. An
+      // unusable envelope means unknown, and unknown means world.
+      case Some((mnx, mny, mxx, mxy))
+        if Seq(mnx, mny, mxx, mxy).forall(java.lang.Double.isFinite) =>
+        graft.geom.Envelope(lo(mnx), lo(mny), hi(mxx), hi(mxy))
+      case _ if h.featuresCount > 0 => GeomedeaTable.World
+      case _ => graft.geom.Envelope.empty
     }
     GeomedeaManifest.entryOf(s.getPath.getName, s.getLen, h.featuresCount, ext)
   }

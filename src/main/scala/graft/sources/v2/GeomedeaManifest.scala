@@ -38,6 +38,42 @@ object GeomedeaManifest {
   def entryOf(name: String, len: Long, count: Long, extent: Envelope): Entry =
     Entry(name, len, count, extent.minLng, extent.minLat, extent.maxLng, extent.maxLat)
 
+  /** The manifest iff it covers EXACTLY `files` (every listed shard by
+    * name with a matching byte length, no extras) — the validation both
+    * DSv2 planners apply before trusting it; anything else means fall
+    * back to per-file header reads.
+    */
+  def validated(fs: FileSystem, dir: Path,
+                files: Seq[org.apache.hadoop.fs.FileStatus]): Option[Map[String, Entry]] =
+    read(fs, dir).filter(m => m.size == files.size &&
+      files.forall(f => m.get(f.getPath.getName).exists(_.len == f.getLen)))
+
+  /** Commit-side refresh shared by both container writers: entries for
+    * every live `suffix` shard — fresh ones from the job's commit
+    * messages, pre-existing ones carried from the old manifest when the
+    * byte length still matches, else re-read via `selfHeal`. BEST
+    * EFFORT by contract: any failure (a corrupt foreign file failing
+    * the self-heal read, a publish race) leaves the old/no manifest in
+    * place and returns — the data is already published by the time this
+    * runs, and a job commit must never fail over an advisory cache;
+    * planning degrades to header reads until the next refresh.
+    */
+  def refresh(fs: FileSystem, dir: Path, suffix: String, fresh: Seq[Entry], token: String)
+             (selfHeal: org.apache.hadoop.fs.FileStatus => Entry): Unit =
+    try {
+      val old = read(fs, dir).getOrElse(Map.empty[String, Entry])
+      val freshByName = fresh.map(e => e.name -> e).toMap
+      val entries = fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
+        .map { s =>
+          val name = s.getPath.getName
+          freshByName.get(name)
+            .orElse(old.get(name).filter(_.len == s.getLen))
+            .getOrElse(selfHeal(s))
+        }
+      write(fs, dir, entries, token)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** None when absent or unparseable (both mean: fall back to headers). */
   def read(fs: FileSystem, dir: Path): Option[Map[String, Entry]] = {
     val f = new Path(dir, FileName)

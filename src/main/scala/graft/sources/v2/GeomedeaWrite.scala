@@ -82,26 +82,19 @@ class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
     // header per shard. Self-healing for pre-existing shards this job
     // didn't write: carried from the old manifest when still accurate,
     // else re-read from their 45-byte heads (bounded driver work, once
-    // per commit — amortized across every later query).
-    val old = GeomedeaManifest.read(fs, dir).getOrElse(Map.empty[String, GeomedeaManifest.Entry])
-    val freshByName = fresh.map(e => e.name -> e).toMap
-    val entries = fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".geomedea"))
-      .map { s =>
-        val name = s.getPath.getName
-        freshByName.get(name)
-          .orElse(old.get(name).filter(_.len == s.getLen))
-          .getOrElse {
-            val head = new Array[Byte](math.min(GeomedeaTable.HeadBytes.toLong, s.getLen).toInt)
-            val in = fs.open(s.getPath)
-            try in.readFully(0, head) finally in.close()
-            val count = graft.codec.FeatureCodec.decodeHeader(
-              new graft.codec.FeatureCodec.R(head))._3
-            val ext = GeomedeaTable.fileExtent(head).getOrElse(graft.geom.Envelope.empty)
-            GeomedeaManifest.entryOf(name, s.getLen, count, ext)
-          }
-      }
-    GeomedeaManifest.write(fs, dir, entries, jobToken)
+    // per commit — amortized across every later query). Best-effort by
+    // GeomedeaManifest.refresh's contract: a corrupt foreign file in
+    // the dir degrades planning to header reads, never fails a commit
+    // whose data is already published.
+    GeomedeaManifest.refresh(fs, dir, ".geomedea", fresh.toSeq, jobToken) { s =>
+      val head = new Array[Byte](math.min(GeomedeaTable.HeadBytes.toLong, s.getLen).toInt)
+      val in = fs.open(s.getPath)
+      try in.readFully(0, head) finally in.close()
+      val count = graft.codec.FeatureCodec.decodeHeader(
+        new graft.codec.FeatureCodec.R(head))._3
+      val ext = GeomedeaTable.fileExtent(head).getOrElse(graft.geom.Envelope.empty)
+      GeomedeaManifest.entryOf(s.getPath.getName, s.getLen, count, ext)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -84,8 +84,27 @@ class CompactionSpec extends AnyFunSuite {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val manifest = GeomedeaManifest.read(fs, p)
     assert(manifest.isDefined && manifest.get.size == 6)
-    // old append-* shards are gone (truncate at commit)
+    // old append-* shards are gone (targeted planned-set delete), and
+    // the swap journal was cleaned up
     assert(fs.listStatus(p).forall(s => !s.getPath.getName.startsWith("append-")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, Compact.PendingFile)))
+  }
+
+  test("crashed swap: a pending journal is completed before the next compaction plans") {
+    val dir = overlappingLake(3)
+    // simulate a compact that crashed after its append commit: the
+    // journal condemns append-00 but the delete never ran
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, Compact.PendingFile), true)
+    out.write("append-00.geomedea\n".getBytes("UTF-8")); out.close()
+    Compact.compact(spark, dir, numShards = 2)
+    // recovery deleted the condemned shard BEFORE planning: its rows are
+    // not in the compacted lake; the other two appends' rows all are
+    val after = idsAt(dir)
+    assert(after.map(_._1) == (100 until 120).map(_.toLong).toSet ++
+      (200 until 220).map(_.toLong).toSet, s"got ${after.map(_._1).toSeq.sorted}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, Compact.PendingFile)))
   }
 
   test("flatgeobuf lakes compact through the same job") {
@@ -129,5 +148,9 @@ class CompactionSpec extends AnyFunSuite {
       Seq(pt(1, 1, 1L)), compressed = true, pageSizeGoal = 256))
     val err = intercept[IllegalArgumentException](Compact.compact(spark, f.toString))
     assert(err.getMessage.contains("DIRECTORY"))
+    // bad knobs fail with actionable messages, not ArithmeticException
+    val err2 = intercept[IllegalArgumentException](
+      Compact.compact(spark, dir, targetShardBytes = 0))
+    assert(err2.getMessage.contains("targetShardBytes"))
   }
 }

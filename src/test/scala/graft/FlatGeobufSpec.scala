@@ -409,6 +409,33 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(spark.read.format("flatgeobuf").load(out).count() == 130)
   }
 
+  test("manifest refresh is best-effort: a corrupt foreign shard never fails a commit") {
+    import graft.sources.v2.{FgbTable, GeomedeaManifest}
+    val spark = sparkSession
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("fgb_junk").toString + "/m"
+    val src = (0 until 20).map { i =>
+      (Wkb.write(Wkb.Pt(i * 1000000, i * 500000)),
+        Seq(GeoJsonIngest.toCell("id", PInt64(i.toLong))))
+    }.toDF("wkb", "props")
+    src.repartition(1).write.format("flatgeobuf").mode("append").save(out)
+    // drop a truncated junk .fgb into the dir: the next commit's
+    // manifest self-heal cannot read its header — the append must still
+    // SUCCEED (data is already published when the refresh runs) and
+    // planning degrades to header reads (manifest stale for the new lake)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/junk.fgb"), Array[Byte](1, 2, 3))
+    src.repartition(1).write.format("flatgeobuf").mode("append").save(out) // must not throw
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = GeomedeaManifest.read(fs, p)
+    // whatever manifest is left cannot validate against the 3-file
+    // listing (junk.fgb unreadable -> refresh skipped), so planning uses
+    // the header fallback — which fails loudly ON the junk file, naming it
+    assert(m.forall(_.size < 3))
+    val e = intercept[Exception](FgbTable.scanFiles(out, None))
+    assert(e.getMessage != null && e.getMessage.contains("junk.fgb"))
+  }
+
   test("streaming read: tails a growing .fgb lake exactly once") {
     import org.apache.spark.sql.streaming.Trigger
     val spark = sparkSession
