@@ -193,6 +193,14 @@ object GeomedeaOffset {
     * a continuing stream would silently RE-EMIT every row (the rewritten
     * shards all carry fresh names). Cost: one listing per micro-batch,
     * which planning already pays.
+    *
+    * Deliberate strictness: retention deletion of an already-consumed
+    * shard is INDISTINGUISHABLE from a rewrite under name-set offsets
+    * (both leave a tracked name missing; in both cases the listing also
+    * holds unseen names), so it too trips this check. That is the
+    * documented price of exactly-once here: deleting ANY offset-tracked
+    * shard requires restarting the checkpoint. Failing the benign case
+    * loudly is strictly safer than passing the rewrite case silently.
     */
   private[v2] def requireNoRewrite(path: String, live: Seq[String],
                                    start: Seq[String], end: Seq[String]): Unit = {
