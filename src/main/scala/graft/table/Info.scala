@@ -45,6 +45,33 @@ object Info {
        |""".stripMargin
   }
 
+  /** `info` for a shard LAKE (a directory of `.geomedea` or `.fgb`
+    * containers): shard/byte totals, manifest health (present + valid =
+    * one-read planning; stale = header-read fallback), and whether a
+    * crashed compaction swap is pending — the three things an operator
+    * checks before/after maintenance. Driver-side listing + one manifest
+    * read; no shard data is touched.
+    */
+  def renderLake(spark: SparkSession, dir: String, suffix: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
+    val manifest = graft.sources.v2.GeomedeaManifest.validated(fs, p, files)
+    val manifestState =
+      if (manifest.isDefined) "valid (one-read planning)"
+      else if (fs.exists(new org.apache.hadoop.fs.Path(p,
+        graft.sources.v2.GeomedeaManifest.FileName))) "STALE (header-read fallback)"
+      else "absent (header-read fallback)"
+    val pending = fs.exists(new org.apache.hadoop.fs.Path(p, graft.jobs.Compact.PendingFile))
+    val counted = manifest.map(_.values.map(_.count).sum)
+    s"""lake: $dir ($suffix)
+       |shards: ${files.size}  bytes: ${files.map(_.getLen).sum}${counted.map(c => s"  features: $c").getOrElse("")}
+       |manifest: $manifestState
+       |pending_compaction_swap: ${if (pending) "YES (next compact() completes it)" else "no"}
+       |""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: graft.table.Info <tableDir | file.fgb>")
     if (args(0).endsWith(".fgb")) { print(renderFgb(args(0))); return }
@@ -52,7 +79,19 @@ object Info {
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    print(render(spark, args(0)))
+    // container-lake dirs get the lake summary; parquet tables the
+    // ingest summary
+    val p = new org.apache.hadoop.fs.Path(args(0))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val suffixes = Seq(".geomedea", ".fgb")
+    val lakeSuffix =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+        suffixes.find(sf => fs.listStatus(p).exists(_.getPath.getName.endsWith(sf)))
+      else None
+    lakeSuffix match {
+      case Some(sf) => print(renderLake(spark, args(0), sf))
+      case None     => print(render(spark, args(0)))
+    }
     spark.stop()
   }
 }

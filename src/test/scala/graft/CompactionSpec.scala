@@ -90,6 +90,23 @@ class CompactionSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(p, Compact.PendingFile)))
   }
 
+  test("Info.renderLake reports shard totals, manifest health, pending swap") {
+    val dir = overlappingLake(3)
+    // hand-built lake: no manifest yet
+    val r1 = graft.table.Info.renderLake(spark, dir, ".geomedea")
+    assert(r1.contains("shards: 3") && r1.contains("absent"))
+    Compact.compact(spark, dir, numShards = 2)
+    val r2 = graft.table.Info.renderLake(spark, dir, ".geomedea")
+    assert(r2.contains("shards: 2") && r2.contains("valid") && r2.contains("features: 60"))
+    assert(r2.contains("pending_compaction_swap: no"))
+    // a pending journal is surfaced
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(p, Compact.PendingFile), true).close()
+    assert(graft.table.Info.renderLake(spark, dir, ".geomedea").contains("YES"))
+    fs.delete(new org.apache.hadoop.fs.Path(p, Compact.PendingFile), false)
+  }
+
   test("crashed swap: a pending journal is completed before the next compaction plans") {
     val dir = overlappingLake(3)
     // simulate a compact that crashed after its append commit: the
