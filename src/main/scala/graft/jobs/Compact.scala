@@ -149,6 +149,9 @@ object Compact {
     try in.readFully(0, buf) finally in.close()
     val names = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
       .split('\n').toSeq.filter(_.nonEmpty)
+      // journal content becomes DELETE paths — a corrupt/forged line
+      // with a separator could otherwise reach outside the lake dir
+      .filter(nm => !nm.contains('/') && !nm.contains('\\'))
     names.foreach(nm => fs.delete(new Path(p, nm), false))
     pruneManifest(fs, p, names.toSet)
     fs.delete(pending, false)
