@@ -436,6 +436,15 @@ class DataSourceV2Spec extends AnyFunSuite {
     GeomedeaManifest.write(fs, new org.apache.hadoop.fs.Path(out),
       forged.map(e => e.copy(len = e.len + 1)), "badlen")
     assert(graft.sources.v2.GeomedeaTable.scanFiles(out, Some(q)).nonEmpty)
+    // manifest refresh is BEST-EFFORT: a corrupt foreign shard in the
+    // dir must not fail a commit whose data already published (the
+    // refresh degrades; planning falls back and names the bad file)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/junk.geomedea"),
+      Array[Byte](1, 2, 3))
+    src.select("wkb", "props").repartition(1)
+      .write.format("geomedea").mode("append").save(out) // must not throw
+    val e = intercept[Exception](graft.sources.v2.GeomedeaTable.scanFiles(out, None))
+    assert(e.getMessage != null && e.getMessage.contains("junk.geomedea"))
   }
 
   test("writer options: pageSizeGoal shapes pages; wrong wkb type fails at planning") {
