@@ -80,7 +80,15 @@ object Hilbert {
     val h = extent.latHeight
     val x = if (w <= 0) 0L else (lng.toLong - extent.minLng.toLong) * Max / w
     val y = if (h <= 0) 0L else (lat.toLong - extent.minLat.toLong) * Max / h
-    index(x.toInt, y.toInt)
+    // clamp instead of crash: callers key on envelope CENTERS, and an
+    // EMPTY geometry's inverted envelope puts its center far outside
+    // the dataset extent (found by the FGB roundtrip property with a
+    // MULTIPOLYGON EMPTY among real features). Any deterministic
+    // in-range key is correct for a LAYOUT sort; in-extent centers are
+    // untouched, so the Hilbert goldens and q03 oracle are unaffected.
+    // index() itself keeps its strict require (golden-parity twin).
+    index(math.max(0L, math.min(x, Max.toLong)).toInt,
+      math.max(0L, math.min(y, Max.toLong)).toInt)
   }
 
   /** Java-friendly static entry points for Catalyst StaticInvoke codegen. */

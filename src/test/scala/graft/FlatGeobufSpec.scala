@@ -365,6 +365,22 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(spark.read.format("flatgeobuf").load(out).count() == 60)
   }
 
+  test("empty geometry among real features: both container writers lay out and roundtrip") {
+    // regression (property-found): an EMPTY geometry's inverted envelope
+    // put its center outside the dataset extent and crashed the Hilbert
+    // layout sort with 'coords out of range' in BOTH writers
+    val feats = Seq(
+      pt(1, 1, 1L),
+      Feature(Wkb.MultiPoly(Vector.empty), Vector("id" -> PInt64(99L))),
+      pt(100, 10, 2L))
+    val fgb = FlatGeobuf.write(feats)
+    assert(FlatGeobuf.selectAll(fgb).length == 3)
+    val gm = graft.sources.GeomedeaFile.write(feats, compressed = true, pageSizeGoal = 256)
+    assert(graft.sources.GeomedeaFile.selectAll(gm).length == 3)
+    // the empty feature's inverted leaf bounds never match a query rect
+    assert(FlatGeobuf.selectBbox(fgb, Envelope.fromDegrees(0, 0, 200, 90)).features.length == 2)
+  }
+
   test("manifest: fgb v2 writes publish _manifest.tsv and planning consumes it") {
     import graft.sources.v2.{FgbTable, GeomedeaManifest}
     val spark = sparkSession

@@ -151,4 +151,19 @@ object PropertiesSpec extends Properties("graft") {
       val brute = back.filter(_.geom.envelope.intersects(q))
       multiset(back) == multiset(feats) && multiset(bb) == multiset(brute)
     }
+
+  property("manifest parser never throws on arbitrary bytes (None/Some, planner falls back)") =
+    Prop.forAll(Gen.choose(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))) { bs: List[Byte] =>
+      // the manifest is an ADVISORY planning cache: arbitrary/corrupt
+      // content must never take down scan planning — read() contracts
+      // to None (header-read fallback), never an exception
+      val dir = java.nio.file.Files.createTempDirectory("gm_mf_fuzz")
+      java.nio.file.Files.write(dir.resolve(
+        graft.sources.v2.GeomedeaManifest.FileName), bs.toArray)
+      val p = new org.apache.hadoop.fs.Path(dir.toString)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val r = graft.sources.v2.GeomedeaManifest.read(fs, p)
+      r.isEmpty || r.nonEmpty // reached without throwing
+    }
 }
