@@ -190,9 +190,14 @@ object Bench {
     // PIP refine -> tile assign -> aggregate. One untimed warmup (C2-
     // compiles the generated code), then min of 3 (additive-stall
     // estimator, BASELINE.md noise note).
+    // 5 reps by default (was 3): the r4 official record landed all three
+    // headline runs in one degraded host window (2.6-3.7 s vs the same
+    // session's 0.907 s clean window) — more reps make it much less
+    // likely one bad phase owns every sample of the north metric
     def headline(): (Double, Long) = time(joinTiles(docsTable))
+    val headlineReps = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "5").toInt
     headline()
-    val runs = Seq(headline(), headline(), headline())
+    val runs = Seq.fill(math.max(1, headlineReps))(headline())
     val tJoinTiles = runs.map(_._1).min
     val joined = runs.head._2
 
@@ -317,14 +322,14 @@ object Bench {
     def fmtMap(sel: Array[Double] => Double) =
       named.map { case (k, v) => s""""$k":${"%.3f".format(sel(v))}""" }.mkString("{", ",", "}")
     val qs = fmtMap(_.min)
-    val qsMed = fmtMap(_.sorted.apply(1))
+    val qsMed = fmtMap(v => v.sorted.apply(v.length / 2))
     val runArrays = named
       .map { case (k, v) => s""""$k":[${v.map("%.3f".format(_)).mkString(",")}]""" }
       .mkString("{", ",", "}")
     val tJoinMin = headlineRuns.min
     val docsPerSec = nDocs / tJoinMin
     val total = named.map(_._2.min).sum
-    val totalMed = named.map(_._2.sorted.apply(1)).sum
+    val totalMed = named.map(v => v._2.sorted.apply(v._2.length / 2)).sum
     spark.stop()
     emit(
       s"""{"metric":"spatial-join+tile throughput","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"runs":$runArrays,"total_median":${"%.3f".format(totalMed)},"sf":"$sfDir","cpus":$cpus,"n_docs":$nDocs,"docs_per_sec":${"%.1f".format(docsPerSec)},"join_rows":$joined}""")

@@ -160,6 +160,53 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.9++: streaming READ of a .geomedea lake, exactly-once ACROSS a
+    // compaction. Two AvailableNow passes over one checkpoint: pass 1
+    // consumes the first half of the docs, the lake is compacted
+    // (generation 1 — round 4 killed the stream here), pass 2 appends
+    // and consumes the second half. The grouped aggregate over the
+    // streamed rows equals the batch answer over ALL docs iff no row was
+    // lost, re-emitted across the generation, or double-counted from
+    // replacement shards — which is exactly what the oracle replays.
+    "q46_stream_read" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_sr").toString
+      val lake = s"$base/lake"
+      val staged = s"$base/rows"
+      val framed = geo(s, dir)
+        .select(col("wkb"), col("doc_id"),
+          (pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(2L)) === 0L).as("first"))
+        .as[(Array[Byte], String, Boolean)]
+        .map { case (wkb, id, first) =>
+          (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
+            "doc", graft.codec.FeatureCodec.PString(id))), first)
+        }
+        .toDF("wkb", "props", "first")
+      def append(first: Boolean): Unit =
+        framed.where(col("first") === first).select("wkb", "props")
+          .repartition(2).write.format("geomedea").mode("append").save(lake)
+      def run(): Unit = {
+        val q = s.readStream.format("geomedea").load(lake)
+          .select(element_at(col("prop_vals"), 1).as("doc_id"),
+            col("min_lng").cast("long").as("lng"), col("min_lat").cast("long").as("lat"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(staged); ()
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      append(first = true); run()
+      graft.jobs.Compact.compact(s, lake, numShards = 1)
+      append(first = false); run()
+      s.read.parquet(staged)
+        .groupBy(pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(16L)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("lng")).as("sum_lng"), sum(col("lat")).as("sum_lat"))
+        .orderBy("bucket")
+    }),
+
     // cell cover of build-side polygons (H3/S2 analog generator)
     "q10_cell_cover" -> ((s, dir) => {
       InterleavedDocs.nationRects(s, dir)
@@ -562,6 +609,11 @@ object SparkEntry {
 
     "q43_fgb_roundtrip" ->
       s"""WITH $P SELECT doc_id, lng, lat FROM pts ORDER BY doc_id""".stripMargin,
+
+    "q46_stream_read" ->
+      s"""WITH $P SELECT CAST(substr(doc_id, 5) AS BIGINT) % 16 AS bucket, count(*) AS n,
+         |CAST(sum(lng) AS BIGINT) AS sum_lng, CAST(sum(lat) AS BIGINT) AS sum_lat
+         |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q44_fgb_dsv2_bbox" ->
       s"""WITH $P SELECT doc_id, lng, lat FROM pts

@@ -1,7 +1,9 @@
 package graft.jobs
 
-import graft.sources.v2.GeomedeaManifest
-import org.apache.hadoop.fs.{FileSystem, Path}
+import graft.curve.Hilbert
+import graft.geom.Envelope
+import graft.sources.v2.{GeomedeaManifest, LakeGenerations}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -14,30 +16,33 @@ import org.apache.spark.sql.functions._
   * bbox". The reference's answer is "concatenating files = re-ingest"
   * (SURVEY.md §2.7; there is no incremental merge in the format —
   * `writer/mod.rs` always rebuilds the Hilbert order and the packed
-  * R-tree from scratch). The distributed analog:
+  * R-tree from scratch). The distributed analog, per slice:
   *
   *   pin the PLANNED shard set (a union of single-file scans, so the
   *   read set is exactly the recorded list — not whatever a directory
   *   listing says later) -> global extent (4-way min/max, map-side
   *   combined) -> Hilbert key of each envelope center relative to that
-  *   extent -> `repartitionByRange(hilbert desc)` -> APPEND through the
-  *   distributed v2 writer -> journal the condemned names -> delete
-  *   EXACTLY the planned shards -> prune them from the manifest.
+  *   extent -> `repartitionByRange(hilbert desc)` -> rewrite through the
+  *   distributed v2 writer into an INVISIBLE staging subdirectory ->
+  *   record the generation swap (condemned names + the exact replacement
+  *   names, [[LakeGenerations]]) -> rename replacements into the lake ->
+  *   delete EXACTLY the planned shards -> swap them in the manifest.
   *
   * The targeted delete (not truncate-overwrite) is what makes the job
-  * safe under concurrent appends: a shard committed by another job at
+  * safe under concurrent APPENDS: a shard committed by another job at
   * ANY point during compaction is not in the planned set and survives
-  * untouched — a truncate would silently destroy it. The cost is a
-  * short window after the append commit where readers see old +
-  * compacted shards together (duplicate rows); run compaction in a
-  * maintenance window if that matters. Crash recovery: once the append
-  * has committed, the condemned names are journaled
-  * (`_compact_pending.tsv`, no shard suffix so no reader/stream ever
-  * sees it) and the next `compact` call on the dir finishes a crashed
-  * swap before planning. The journal is written only AFTER the new data
-  * is live, so recovery can never delete unreplaced rows; only a crash
-  * in the tiny gap between the append commit and the journal write
-  * leaves duplicates behind.
+  * untouched — a truncate would silently destroy it. (Concurrent
+  * compact() calls on one directory are NOT supported — maintenance is
+  * single-writer, like every table format's.) The cost is a short window
+  * after the renames where batch readers see old + compacted shards
+  * together (duplicate rows); run compaction in a maintenance window if
+  * that matters. Crash recovery: the generation record is the swap's
+  * journal — it is written only AFTER the rewrite's data is durable in
+  * the staging dir, and the next `compact` call finishes an interrupted
+  * swap (outstanding renames + deletes) before planning, so recovery can
+  * never delete unreplaced rows. A crash BEFORE the record leaves only
+  * an invisible orphan staging dir (cleaned up by the next call); the
+  * lake itself is untouched.
   *
   * After compaction each shard owns a contiguous descending Hilbert range
   * of the GLOBAL curve, so shard extents are spatially localized and a
@@ -46,20 +51,24 @@ import org.apache.spark.sql.functions._
   * within-file order/index is rebuilt by the writer itself
   * ([[graft.sources.GeomedeaFile.write]] re-sorts per shard extent).
   *
-  * At 100 TB this is one shuffle of the payload (the honest cost of
-  * re-clustering, identical to ingest) and should be scheduled like any
-  * table-maintenance job: triggered when the manifest shows extent
-  * overlap, not per append — and sliced (compact sub-ranges of shards,
-  * several calls) rather than one job over millions of files: the
-  * pinned-union plan and the single shuffle both want bounded inputs.
+  * At 100 TB this is one shuffle of the payload per slice (the honest
+  * cost of re-clustering, identical to ingest) and should be scheduled
+  * like any table-maintenance job: triggered when the manifest shows
+  * extent overlap, not per append. `maxShardsPerCall` bounds BOTH the
+  * union plan (the logical plan is O(planned shards) — a 100k-shard lake
+  * must not pay one 100k-way union on the driver) and the shuffle size:
+  * shards are ordered by the Hilbert position of their manifest extents
+  * and compacted in spatially-coherent slices, each its own bounded
+  * pinned-set swap, so pruning improves slice by slice without the
+  * caller hand-slicing.
   *
-  * Streams: compaction rewrites ROW IDENTITY (every shard gets a fresh
-  * name), so a stream tailing the lake cannot continue exactly-once
-  * across it. The streaming sources detect the rewrite at the next
-  * micro-batch and fail with an actionable error
-  * ([[graft.sources.v2.GeomedeaOffset.requireNoRewrite]]) instead of
-  * replaying into deleted files or silently re-emitting the lake;
-  * restart tailing streams with a fresh checkpoint after compacting.
+  * Streams: compaction rewrites row identity (every shard gets a fresh
+  * name), but the generation record lets a tailing stream that has
+  * CONSUMED the condemned shards resume exactly-once across the swap
+  * (replacements are recognized by name and skipped —
+  * [[graft.sources.v2.GeomedeaOffset.resolveFresh]]); a stream that was
+  * still behind fails with an actionable error instead of replaying into
+  * deleted files or silently re-emitting the lake.
   */
 object Compact {
 
@@ -69,26 +78,39 @@ object Compact {
     */
   val DefaultTargetShardBytes: Long = 64L << 20
 
-  /** Crashed-swap journal: names condemned by an already-committed
-    * compaction append, one per line.
+  /** Legacy (round 4) crashed-swap journal: names condemned by an
+    * already-committed compaction append, one per line. Superseded by
+    * the generation record but still honored on recovery.
     */
   val PendingFile = "_compact_pending.tsv"
 
-  /** Rewrite `dir` as `numShards` globally-Hilbert-clustered shards
-    * (0 = size the shard count from the current lake bytes /
-    * `targetShardBytes`; range partitioning may yield fewer when the
-    * key space is tiny). Returns the number of live shards after the
-    * swap, 0 for an empty or absent lake (no-op). `format` picks the
-    * container: `"geomedea"` (default) or `"flatgeobuf"` — both DSv2
-    * sources share the row surface (wkb/props + envelope stats) and the
-    * same commit protocol, so one maintenance job serves both lakes.
+  /** Staging subdirectory prefix — invisible to every planner and stream
+    * (they list only direct FILES with the container suffix).
+    */
+  val StagePrefix = "_compact_tmp_"
+
+  /** Rewrite `dir` as globally-Hilbert-clustered shards. Returns the
+    * number of live shards after the swap(s), 0 for an empty or absent
+    * lake (no-op).
+    *
+    *  - `numShards`: total output shards (0 = size from lake bytes /
+    *    `targetShardBytes`; range partitioning may yield fewer when the
+    *    key space is tiny). With slicing it is apportioned to slices by
+    *    byte share.
+    *  - `format`: `"geomedea"` (default) or `"flatgeobuf"` — both DSv2
+    *    sources share the row surface (wkb/props + envelope stats) and
+    *    the same commit protocol, so one maintenance job serves both.
+    *  - `maxShardsPerCall`: 0 = one swap over every shard; n > 0 bounds
+    *    each swap's planned set to n spatially-ordered shards.
     */
   def compact(spark: SparkSession, dir: String, numShards: Int = 0,
               compressed: Boolean = true,
               targetShardBytes: Long = DefaultTargetShardBytes,
-              format: String = "geomedea"): Int = {
+              format: String = "geomedea",
+              maxShardsPerCall: Int = 0): Int = {
     require(numShards >= 0, s"numShards must be >= 0; got $numShards")
     require(targetShardBytes > 0, s"targetShardBytes must be positive; got $targetShardBytes")
+    require(maxShardsPerCall >= 0, s"maxShardsPerCall must be >= 0; got $maxShardsPerCall")
     val suffix = format match {
       case "geomedea"   => ".geomedea"
       case "flatgeobuf" => ".fgb"
@@ -105,71 +127,179 @@ object Compact {
     val shards =
       fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
     if (shards.isEmpty) return 0
-    val totalBytes = shards.map(_.getLen).sum
-    val n =
-      if (numShards > 0) numShards
-      else math.max(1L, (totalBytes + targetShardBytes - 1) / targetShardBytes).toInt
-
-    // pinned read set: one single-file scan per PLANNED shard, unioned —
-    // rows from shards other jobs commit mid-compaction can never leak
-    // into the rewrite (and so never be duplicated by it). Envelope
-    // stats come straight off the scan; columns beyond the write
-    // contract are pruned.
-    val docs = shards.map(s => spark.read.format(format).load(s.getPath.toString))
-      .reduce(_ union _)
-      .select("wkb", "props", "min_lng", "min_lat", "max_lng", "max_lat")
-    val ext = Ingest.extent(docs)
-    val clustered = Ingest.withHilbert(docs, ext)
-      .repartitionByRange(n, col("hilbert").desc)
-      .select("wkb", "props")
-      .write.format(format).mode("append")
-    (if (format == "geomedea") clustered.option("compressed", compressed.toString)
-     else clustered)
-      .save(dir)
-
-    // swap: journal the condemned names (the compacted copy is LIVE from
-    // here — recovery may re-run these deletes but never new ones), then
-    // delete exactly the planned shards and drop them from the manifest
-    val condemned = shards.map(_.getPath.getName)
-    writePending(fs, p, condemned)
-    condemned.foreach(nm => fs.delete(new Path(p, nm), false))
-    pruneManifest(fs, p, condemned.toSet)
-    fs.delete(new Path(p, PendingFile), false)
+    val totalBytes = math.max(1L, shards.map(_.getLen).sum)
+    val slices: Seq[Seq[FileStatus]] =
+      if (maxShardsPerCall > 0 && shards.size > maxShardsPerCall)
+        sliceSpatially(fs, p, shards, maxShardsPerCall)
+      else Seq(shards)
+    slices.foreach { slice =>
+      val sliceBytes = slice.map(_.getLen).sum
+      val n =
+        if (numShards > 0)
+          math.max(1L, math.round(numShards.toDouble * sliceBytes / totalBytes)).toInt
+        else math.max(1L, (sliceBytes + targetShardBytes - 1) / targetShardBytes).toInt
+      compactSet(spark, p, fs, slice, n, compressed, format, suffix)
+    }
     fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(suffix))
   }
 
-  /** Complete a crashed swap: delete whatever the journal condemns that
-    * still exists, fix the manifest, drop the journal.
+  /** Spatially-coherent bounded slices: shards ordered by the Hilbert
+    * position of their manifest-extent centers (over the union extent),
+    * grouped into runs of `cap`. Ordering quality is ADVISORY only —
+    * extents come from the manifest when present (shards it doesn't
+    * cover sort last by name); a wrong/missing extent degrades slice
+    * coherence (less pruning improvement per slice), never correctness,
+    * because every slice's rows are re-read from the pinned statuses.
+    */
+  private def sliceSpatially(fs: FileSystem, p: Path, shards: Seq[FileStatus],
+                             cap: Int): Seq[Seq[FileStatus]] = {
+    val manifest = GeomedeaManifest.read(fs, p).getOrElse(Map.empty)
+    def extentOf(s: FileStatus): Option[Envelope] =
+      manifest.get(s.getPath.getName).filter(_.len == s.getLen).flatMap(_.extent)
+    val global = shards.flatMap(extentOf).foldLeft(Envelope.empty)(_ union _)
+    shards.sortBy { s =>
+      extentOf(s) match {
+        case Some(e) => (0, Hilbert.scaled(e.centerLng, e.centerLat, global), s.getPath.getName)
+        case None    => (1, 0L, s.getPath.getName)
+      }
+    }.grouped(cap).map(_.toSeq).toSeq
+  }
+
+  /** One bounded swap: rewrite `shards` into `n` clustered replacements.
+    * Stage-write -> generation record -> publish (the record is the
+    * journal; [[completeSwap]] is idempotent and crash-resumable).
+    */
+  private def compactSet(spark: SparkSession, p: Path, fs: FileSystem,
+                         shards: Seq[FileStatus], n: Int, compressed: Boolean,
+                         format: String, suffix: String): Unit = {
+    // compact tokens are longer than the writers' default 8 so a random
+    // future append can never collide with a recorded generation token
+    val token = "c" + java.util.UUID.randomUUID().toString.replace("-", "").take(15)
+    val stage = new Path(p, s"$StagePrefix$token")
+    try {
+      // pinned read set: one single-file scan per PLANNED shard, unioned —
+      // rows from shards other jobs commit mid-compaction can never leak
+      // into the rewrite (and so never be duplicated by it). Envelope
+      // stats come straight off the scan; columns beyond the write
+      // contract are pruned.
+      val docs = shards.map(s => spark.read.format(format).load(s.getPath.toString))
+        .reduce(_ union _)
+        .select("wkb", "props", "min_lng", "min_lat", "max_lng", "max_lat")
+      val ext = Ingest.extent(docs)
+      val clustered = Ingest.withHilbert(docs, ext)
+        .repartitionByRange(n, col("hilbert").desc)
+        .select("wkb", "props")
+        .write.format(format).mode("append")
+        .option("shardToken", token)
+      (if (format == "geomedea") clustered.option("compressed", compressed.toString)
+       else clustered)
+        .save(stage.toString)
+    } catch {
+      case t: Throwable =>
+        // a failed rewrite leaves the lake untouched; drop the orphan stage
+        try fs.delete(stage, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw t
+    }
+    val replacements = fs.listStatus(stage).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
+      .map(_.getPath.getName)
+    val condemned = shards.map(_.getPath.getName)
+    // the record makes the swap durable + resumable; from here every
+    // appearing replacement name is explained to tailing streams
+    LakeGenerations.append(fs, p, token, condemned, replacements)
+    completeSwap(fs, p, token, condemned.toSet, replacements.toSet)
+  }
+
+  /** Publish a recorded swap: rename staged replacements into the lake,
+    * delete condemned shards, swap manifest entries, drop the stage.
+    * Idempotent — safe to re-run from any crash point after the
+    * generation record exists.
+    */
+  private def completeSwap(fs: FileSystem, p: Path, token: String,
+                           condemned: Set[String], replacements: Set[String]): Unit = {
+    val stage = new Path(p, s"$StagePrefix$token")
+    // read the stage's own manifest (written by the rewrite job's commit)
+    // BEFORE moving files, so the lake manifest can swap entries without
+    // re-reading replacement headers
+    val stageEntries =
+      if (fs.exists(stage)) GeomedeaManifest.read(fs, stage).getOrElse(Map.empty)
+      else Map.empty[String, GeomedeaManifest.Entry]
+    if (fs.exists(stage)) {
+      fs.listStatus(stage).filter(s => s.isFile && replacements(s.getPath.getName))
+        .foreach { s =>
+          val dst = new Path(p, s.getPath.getName)
+          // re-run after a crash mid-rename: the published copy wins
+          if (fs.exists(dst)) fs.delete(s.getPath, false)
+          else require(fs.rename(s.getPath, dst),
+            s"failed to publish ${s.getPath.getName} under $p")
+        }
+    }
+    condemned.foreach { nm =>
+      // names become DELETE paths — a corrupt/forged record line with a
+      // separator could otherwise reach outside the lake dir
+      if (!nm.contains('/') && !nm.contains('\\')) fs.delete(new Path(p, nm), false)
+    }
+    // manifest: old - condemned + staged replacement entries (best
+    // effort: a failure costs the header-read fallback at planning)
+    try {
+      val old = GeomedeaManifest.read(fs, p).getOrElse(Map.empty)
+      val merged = (old -- condemned) ++ stageEntries.filter(e => replacements(e._1))
+      if (merged.nonEmpty || old.nonEmpty)
+        GeomedeaManifest.write(fs, p, merged.values.toSeq, token)
+    } catch { case scala.util.control.NonFatal(_) => () }
+    if (fs.exists(stage)) fs.delete(stage, true)
+  }
+
+  /** Finish an interrupted swap before planning: the LAST generation
+    * record (swaps are serial; only the newest can be incomplete) with a
+    * surviving stage dir or live condemned shards is re-completed, then
+    * any legacy round-4 journal, then orphan stage dirs from rewrites
+    * that failed before their record existed.
     */
   private def finishPendingSwap(fs: FileSystem, p: Path): Unit = {
+    LakeGenerations.read(fs, p).lastOption.foreach { g =>
+      val stage = new Path(p, s"$StagePrefix${g.token}")
+      val outstanding = fs.exists(stage) ||
+        g.condemned.exists(nm =>
+          !nm.contains('/') && !nm.contains('\\') && fs.exists(new Path(p, nm)))
+      if (outstanding) completeSwap(fs, p, g.token, g.condemned, g.replacements)
+    }
     val pending = new Path(p, PendingFile)
-    if (!fs.exists(pending)) return
-    val buf = new Array[Byte](fs.getFileStatus(pending).getLen.toInt)
-    val in = fs.open(pending)
-    try in.readFully(0, buf) finally in.close()
-    val names = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-      .split('\n').toSeq.filter(_.nonEmpty)
-      // journal content becomes DELETE paths — a corrupt/forged line
-      // with a separator could otherwise reach outside the lake dir
-      .filter(nm => !nm.contains('/') && !nm.contains('\\'))
-    names.foreach(nm => fs.delete(new Path(p, nm), false))
-    pruneManifest(fs, p, names.toSet)
-    fs.delete(pending, false)
+    if (fs.exists(pending)) {
+      val buf = new Array[Byte](fs.getFileStatus(pending).getLen.toInt)
+      val in = fs.open(pending)
+      try in.readFully(0, buf) finally in.close()
+      val names = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .split('\n').toSeq.filter(_.nonEmpty)
+        .filter(nm => !nm.contains('/') && !nm.contains('\\'))
+      names.foreach(nm => fs.delete(new Path(p, nm), false))
+      try GeomedeaManifest.read(fs, p).foreach { m =>
+        GeomedeaManifest.write(fs, p,
+          m.values.toSeq.filterNot(e => names.contains(e.name)), "compact")
+      } catch { case scala.util.control.NonFatal(_) => () }
+      fs.delete(pending, false)
+    }
+    // orphan stages: a rewrite that died before its generation record is
+    // invisible residue; compaction is single-maintainer by contract, so
+    // any stage not owned by the newest record is dead
+    val lastToken = LakeGenerations.read(fs, p).lastOption.map(_.token)
+    fs.listStatus(p).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith(StagePrefix) &&
+      !lastToken.contains(s.getPath.getName.stripPrefix(StagePrefix)))
+      .foreach(s => try fs.delete(s.getPath, true)
+      catch { case scala.util.control.NonFatal(_) => () })
   }
 
-  private def writePending(fs: FileSystem, p: Path, names: Seq[String]): Unit = {
-    val out = fs.create(new Path(p, PendingFile), true)
-    try out.write(names.mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  /** Drop deleted names from the advisory manifest (best effort: a
-    * failure just costs the header-read fallback at planning).
+  /** True when the lake has an interrupted compaction swap (surfaced by
+    * the Info CLI; the next `compact` call completes it).
     */
-  private def pruneManifest(fs: FileSystem, p: Path, deleted: Set[String]): Unit =
-    try GeomedeaManifest.read(fs, p).foreach { m =>
-      GeomedeaManifest.write(fs, p,
-        m.values.toSeq.filterNot(e => deleted(e.name)), "compact")
-    } catch { case scala.util.control.NonFatal(_) => () }
+  def hasPendingSwap(fs: FileSystem, p: Path): Boolean = {
+    val rec = LakeGenerations.read(fs, p).lastOption.exists { g =>
+      fs.exists(new Path(p, s"$StagePrefix${g.token}")) ||
+        g.condemned.exists(nm =>
+          !nm.contains('/') && !nm.contains('\\') && fs.exists(new Path(p, nm)))
+    }
+    rec || fs.exists(new Path(p, PendingFile))
+  }
 }

@@ -277,11 +277,15 @@ object FlatGeobuf {
   private def writeGeometry(fb: FbBuilder, g: Wkb.Geom, withType: Boolean): Int = {
     def leaf(xy: Array[Double], ends: Array[Int], tpe: Int): Int = {
       val xyRef = if (xy.nonEmpty) fb.createDoubleVector(xy) else 0
-      // omit ends ONLY when the reader's fallback ("one ring of all
-      // pairs"; none when xy is empty) reconstructs them exactly — a
-      // zero-point ring (ends=[0]) must stay explicit or it vanishes
+      // omit ends when absent (single-part Point/Line/MultiPoint — an
+      // explicit zero-length vector would waste ~8-12 B/feature plus a
+      // vtable slot and deviate from reference FGB encoders) and when
+      // the reader's fallback ("one ring of all pairs"; none when xy is
+      // empty) reconstructs them exactly — a zero-point ring (ends=[0])
+      // is non-empty and stays explicit or it vanishes
       val fallback = if (xy.isEmpty) Array.empty[Int] else Array(xy.length / 2)
-      val endsRef = if (ends.sameElements(fallback)) 0 else fb.createUIntVector(ends)
+      val endsRef =
+        if (ends.isEmpty || ends.sameElements(fallback)) 0 else fb.createUIntVector(ends)
       fb.startTable(8)
       if (endsRef != 0) fb.slotRef(0, endsRef)
       if (xyRef != 0) fb.slotRef(1, xyRef)
@@ -543,6 +547,11 @@ object FlatGeobuf {
 
   def writeFull(features: Seq[Feature], name: String = "graft",
                 nodeSize: Int = DefaultNodeSize): FgbWritten = {
+    // header index_node_size is a u16: nodeSize 65536 would silently wrap
+    // to 0 (= "no index") while the R-tree bytes are still written, making
+    // readers parse index bytes as feature blocks; 1 loops the level math
+    require(nodeSize >= 2 && nodeSize <= 0xFFFF,
+      s"nodeSize must be in [2, 65535]; got $nodeSize")
     val withBounds = features.map(f => (f, f.geom.envelope))
     val extent = withBounds.foldLeft(Envelope.empty)((e, fb) => e.union(fb._2))
     // ASCENDING hilbert of bbox centers (FGB convention; geomedea is desc)

@@ -27,8 +27,12 @@ class FgbWriteBuilder(path: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val nodeSize = info.options.getInt("indexNodeSize", FlatGeobuf.DefaultNodeSize)
-      require(nodeSize >= 2, s"indexNodeSize must be >= 2; got $nodeSize")
-      new FgbBatchWrite(path, info.schema(), nodeSize, doTruncate)
+      // upper bound matters: the header field is a u16, so 65536 would
+      // wrap to 0 ("no index") while index bytes are still written —
+      // readers would parse R-tree bytes as feature blocks
+      require(nodeSize >= 2 && nodeSize <= 0xFFFF,
+        s"indexNodeSize must be in [2, 65535]; got $nodeSize")
+      new FgbBatchWrite(path, info.schema(), nodeSize, doTruncate, ShardToken.from(info))
     }
   }
 }
@@ -39,10 +43,9 @@ final case class FgbCommit(tmpName: String, finalName: String,
     extends WriterCommitMessage
 
 class FgbBatchWrite(path: String, schema: StructType, nodeSize: Int,
-                    truncate: Boolean) extends BatchWrite {
+                    truncate: Boolean, jobToken: String) extends BatchWrite {
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-  private val jobToken = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FgbWriterFactory(path, schema, nodeSize, conf, jobToken)

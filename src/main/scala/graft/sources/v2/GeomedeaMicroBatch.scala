@@ -1,5 +1,6 @@
 package graft.sources.v2
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.util.SerializableConfiguration
@@ -10,13 +11,20 @@ import org.apache.spark.util.SerializableConfiguration
   * .load(dir)` tails a directory that another job keeps appending
   * shards to, emitting each NEW shard's features exactly once.
   *
-  * Offsets: the sorted list of shard file names already emitted (shard
-  * names are job-token-unique and shards are immutable once published
-  * by the commit rename, so name-set difference IS the new-data set; a
-  * byte or timestamp watermark would mis-handle out-of-order job
-  * tokens). The offset JSON grows with the lake — fine for streaming
-  * checkpoints at the shard counts a micro-batch cadence produces;
-  * compaction would switch to lineage-manifest generations.
+  * Offsets are GENERATION-QUALIFIED name sets: `(generation, shard
+  * names emitted within that generation)`. Shard names are
+  * job-token-unique and shards are immutable once published by the
+  * commit rename, so within a generation the name-set difference IS the
+  * new-data set. Compaction bumps the lake's generation
+  * ([[LakeGenerations]]), recording the condemned names and the token
+  * its replacement shards are named with — so a tailing stream that had
+  * consumed the condemned shards RESUMES across the compaction (the
+  * replacements are recognized as rewrites of already-emitted rows and
+  * skipped), and checkpoint offsets stay O(live shards) instead of
+  * growing O(every shard ever). A stream that had NOT consumed every
+  * condemned shard fails with an actionable error (their rows now exist
+  * only mixed into replacement shards), as does any rewrite outside the
+  * generation protocol — never silent re-emission or loss.
   *
   * Scale shape: one input partition per new shard, decoded by the SAME
   * streaming reader as the batch path (O(page) memory, no file-size
@@ -31,24 +39,27 @@ class GeomedeaMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
-  private def listShards(): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf.value)
-    if (!fs.exists(p)) Seq.empty
-    else if (fs.getFileStatus(p).isFile) Seq(p.toString)
-    else fs.listStatus(p).toSeq
+  private def fs: FileSystem = new Path(path).getFileSystem(conf.value)
+
+  private def listStatuses(): Seq[FileStatus] = {
+    val p = new Path(path)
+    val f = fs
+    if (!f.exists(p)) Seq.empty
+    else if (f.getFileStatus(p).isFile) Seq(f.getFileStatus(p))
+    else f.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".geomedea"))
-      .map(_.getPath.toString)
-      .sorted
+      .sortBy(_.getPath.toString)
   }
 
   private var availableNowTarget: Option[GeomedeaOffset] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(GeomedeaOffset(listShards()))
+    availableNowTarget = Some(snapshot())
 
-  override def latestOffset(): Offset =
-    availableNowTarget.getOrElse(GeomedeaOffset(listShards()))
+  private def snapshot(): GeomedeaOffset =
+    GeomedeaOffset.snapshot(fs, new Path(path), listStatuses().map(_.getPath.toString))
+
+  override def latestOffset(): Offset = availableNowTarget.getOrElse(snapshot())
 
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no rate
   // limiting — each micro-batch takes every published shard; under
@@ -57,45 +68,54 @@ class GeomedeaMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
                             limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
     latestOffset()
 
-  override def initialOffset(): Offset = GeomedeaOffset(Seq.empty)
+  // a stream that starts over an already-compacted lake begins at the
+  // CURRENT generation (an empty set at generation 0 would look like it
+  // predates every recorded compaction and trip the consumed check)
+  override def initialOffset(): Offset =
+    GeomedeaOffset(LakeGenerations.currentGen(fs, new Path(path)), Seq.empty)
 
   override def deserializeOffset(json: String): Offset = GeomedeaOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[GeomedeaOffset].files.toSet
-    val fresh = end.asInstanceOf[GeomedeaOffset].files.filterNot(seen)
-    GeomedeaOffset.requireNoRewrite(path, listShards(),
-      start.asInstanceOf[GeomedeaOffset].files, end.asInstanceOf[GeomedeaOffset].files)
+    val statuses = listStatuses()
+    val fresh = GeomedeaOffset.resolveFresh(path, fs, new Path(path),
+      statuses.map(_.getPath.toString),
+      start.asInstanceOf[GeomedeaOffset], end.asInstanceOf[GeomedeaOffset])
     // same planning-time file pruning as the batch scan: with a pushed
     // bbox, new shards whose root bounds miss the rect are skipped
     // ENTIRELY (the offset still advances past them — offsets track
     // names, not survivors, so pruned shards never replan). Filters stay
     // residual, so pruning is a superset and Spark re-applies them.
-    // Extents come from the _manifest.tsv when it covers the new shards
-    // (one read for the whole batch) and a POOLED header fan-out
-    // otherwise — a large backlog must not serialize planning on one
-    // object-store round trip per shard.
+    // Extents come from the _manifest.tsv when its entries match the
+    // live byte lengths (one read for the whole batch; a stale
+    // same-named entry with a wrong extent could otherwise prune a
+    // fresh intersecting shard — and offsets advance past pruned names,
+    // so the loss would be silent and permanent) and a POOLED header
+    // fan-out otherwise — a large backlog must not serialize planning
+    // on one object-store round trip per shard.
     val kept = bbox match {
       case None => fresh
       case Some(q) =>
-        val dir = new org.apache.hadoop.fs.Path(path)
-        val fs = dir.getFileSystem(conf.value)
-        val manifest = GeomedeaManifest.read(fs, dir).getOrElse(Map.empty)
-        val (known, unknown) = fresh.partition(f =>
-          manifest.contains(new org.apache.hadoop.fs.Path(f).getName))
-        val keptKnown = known.filter(f =>
-          manifest(new org.apache.hadoop.fs.Path(f).getName).extent.exists(_.intersects(q)))
-        val keptUnknown = PlannerPool.mapFiles(unknown) { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          val st = fs.getFileStatus(p)
+        val dir = new Path(path)
+        val f = fs
+        val lenByName = statuses.map(s => s.getPath.getName -> s.getLen).toMap
+        val manifest = GeomedeaManifest.read(f, dir).getOrElse(Map.empty)
+          .filter { case (n, e) => lenByName.get(n).contains(e.len) }
+        val (known, unknown) = fresh.partition(x =>
+          manifest.contains(new Path(x).getName))
+        val keptKnown = known.filter(x =>
+          manifest(new Path(x).getName).extent.exists(_.intersects(q)))
+        val keptUnknown = PlannerPool.mapFiles(unknown) { x =>
+          val p = new Path(x)
+          val st = f.getFileStatus(p)
           val head = new Array[Byte](math.min(GeomedeaTable.HeadBytes.toLong, st.getLen).toInt)
-          val in = fs.open(p)
+          val in = f.open(p)
           try in.readFully(0, head) finally in.close()
-          if (GeomedeaTable.fileExtent(head).exists(_.intersects(q))) Some(f) else None
+          if (GeomedeaTable.fileExtent(head).exists(_.intersects(q))) Some(x) else None
         }.flatten
         (keptKnown ++ keptUnknown).sorted
     }
-    kept.map(f => GeomedeaPartition(f): InputPartition).toArray
+    kept.map(x => GeomedeaPartition(x): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -105,11 +125,12 @@ class GeomedeaMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
   override def stop(): Unit = ()
 }
 
-/** Streaming READ of a `.fgb` lake — same offset/exactly-once model as
-  * [[GeomedeaMicroBatchStream]] (sorted emitted-name sets; shards are
-  * immutable once commit-renamed by [[FgbWrite]], `_tmp_` invisible),
-  * with pushed-bbox pruning of new shards from their header envelopes
-  * (read via two positioned range reads each, pooled).
+/** Streaming READ of a `.fgb` lake — same generation-qualified offset /
+  * exactly-once model as [[GeomedeaMicroBatchStream]] (shards are
+  * immutable once commit-renamed by [[FgbWrite]], `_tmp_` invisible,
+  * compaction resumes via [[LakeGenerations]]), with pushed-bbox pruning
+  * of new shards from their header envelopes (read via two positioned
+  * range reads each, pooled).
   */
 class FgbMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
                           required: org.apache.spark.sql.types.StructType,
@@ -119,39 +140,41 @@ class FgbMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
+  private def fs: FileSystem = new Path(path).getFileSystem(conf.value)
+
   private def listShards(): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf.value)
-    if (!fs.exists(p)) Seq.empty
-    else if (fs.getFileStatus(p).isFile) Seq(p.toString)
-    else fs.listStatus(p).toSeq
+    val p = new Path(path)
+    val f = fs
+    if (!f.exists(p)) Seq.empty
+    else if (f.getFileStatus(p).isFile) Seq(p.toString)
+    else f.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".fgb"))
       .map(_.getPath.toString)
       .sorted
   }
 
   private var availableNowTarget: Option[GeomedeaOffset] = None
+  private def snapshot(): GeomedeaOffset =
+    GeomedeaOffset.snapshot(fs, new Path(path), listShards())
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(GeomedeaOffset(listShards()))
-  override def latestOffset(): Offset =
-    availableNowTarget.getOrElse(GeomedeaOffset(listShards()))
+    availableNowTarget = Some(snapshot())
+  override def latestOffset(): Offset = availableNowTarget.getOrElse(snapshot())
   override def latestOffset(start: Offset,
                             limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
     latestOffset()
-  override def initialOffset(): Offset = GeomedeaOffset(Seq.empty)
+  override def initialOffset(): Offset =
+    GeomedeaOffset(LakeGenerations.currentGen(fs, new Path(path)), Seq.empty)
   override def deserializeOffset(json: String): Offset = GeomedeaOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[GeomedeaOffset].files.toSet
-    val fresh = end.asInstanceOf[GeomedeaOffset].files.filterNot(seen)
-    GeomedeaOffset.requireNoRewrite(path, listShards(),
-      start.asInstanceOf[GeomedeaOffset].files, end.asInstanceOf[GeomedeaOffset].files)
+    val fresh = GeomedeaOffset.resolveFresh(path, fs, new Path(path), listShards(),
+      start.asInstanceOf[GeomedeaOffset], end.asInstanceOf[GeomedeaOffset])
     val kept = bbox match {
       case None => fresh
       case Some(q) =>
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
-        PlannerPool.mapFiles(fresh) { f =>
-          val in = fs.open(new org.apache.hadoop.fs.Path(f))
+        val f = fs
+        PlannerPool.mapFiles(fresh) { x =>
+          val in = f.open(new Path(x))
           val h =
             try graft.sources.FlatGeobuf.readHeaderRanged((off, k) => {
               val b = new Array[Byte](k); in.readFully(off, b); b
@@ -161,10 +184,10 @@ class FgbMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
             !(mxx < q.minLng / 1e7 || mxy < q.minLat / 1e7 ||
               mnx > q.maxLng / 1e7 || mny > q.maxLat / 1e7)
           }
-          if (keep) Some(f) else None
+          if (keep) Some(x) else None
         }.flatten.sorted
     }
-    kept.map(f => GeomedeaPartition(f): InputPartition).toArray
+    kept.map(x => GeomedeaPartition(x): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -174,43 +197,108 @@ class FgbMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
   override def stop(): Unit = ()
 }
 
-/** Offset = the set of shard names already emitted, JSON-encoded as a
-  * sorted array (deterministic equality across restarts).
+/** Offset = `(generation, shard names already emitted within it)`,
+  * JSON-encoded with the name set as a sorted array (deterministic
+  * equality across restarts). Legacy round-4 offsets (a bare array) parse
+  * as generation 0.
   */
-final case class GeomedeaOffset(files: Seq[String]) extends Offset {
+final case class GeomedeaOffset(gen: Long, files: Seq[String]) extends Offset {
   override def json(): String =
-    files.sorted.map(GeomedeaOffset.quote).mkString("[", ",", "]")
+    files.sorted.map(GeomedeaOffset.quote)
+      .mkString(s"""{"gen":$gen,"files":[""", ",", "]}")
 }
 
 object GeomedeaOffset {
 
-  /** Rewrite detection: offsets track shard NAMES, and shards are
-    * immutable once commit-renamed — so an offset-tracked name missing
-    * from the live listing means the lake was REWRITTEN underneath the
-    * stream (compaction or truncate-overwrite). Failing fast here turns
-    * two bad outcomes into one actionable error: a replayed batch would
-    * otherwise die executor-side with a bare FileNotFoundException, and
-    * a continuing stream would silently RE-EMIT every row (the rewritten
-    * shards all carry fresh names). Cost: one listing per micro-batch,
-    * which planning already pays.
-    *
-    * Deliberate strictness: retention deletion of an already-consumed
-    * shard is INDISTINGUISHABLE from a rewrite under name-set offsets
-    * (both leave a tracked name missing; in both cases the listing also
-    * holds unseen names), so it too trips this check. That is the
-    * documented price of exactly-once here: deleting ANY offset-tracked
-    * shard requires restarting the checkpoint. Failing the benign case
-    * loudly is strictly safer than passing the rewrite case silently.
+  def apply(files: Seq[String]): GeomedeaOffset = GeomedeaOffset(0L, files)
+
+  private def nameOf(f: String): String = new Path(f).getName
+
+  /** The end offset a micro-batch should advance to: the current
+    * generation, with every live shard EXCEPT names condemned by a
+    * recorded generation (during a swap window the condemned shards are
+    * still on disk but their rows are owned by the replacements — a
+    * stream must account them through the generation record, never both
+    * ways), PLUS every recorded replacement name even if its rename is
+    * still pending — a tailing stream crossing the generation must
+    * commit replacements as tracked in the same batch that applies the
+    * record, or a replacement first appearing after its generation was
+    * crossed would replay as fresh data.
     */
-  private[v2] def requireNoRewrite(path: String, live: Seq[String],
-                                   start: Seq[String], end: Seq[String]): Unit = {
-    val liveSet = live.toSet
-    val gone = (start.iterator ++ end.iterator).filterNot(liveSet).toSeq.distinct
+  def snapshot(fs: FileSystem, dir: Path, live: Seq[String]): GeomedeaOffset = {
+    val log = LakeGenerations.read(fs, dir)
+    if (log.isEmpty) return GeomedeaOffset(0L, live)
+    val condemned = log.iterator.flatMap(_.condemned).toSet
+    val liveNames = live.iterator.map(nameOf).toSet
+    val pendingRepl = log.iterator.flatMap(_.replacements.iterator)
+      .filterNot(n => liveNames(n) || condemned(n))
+      .map(n => new Path(dir, n).toString).toVector
+    GeomedeaOffset(log.last.gen,
+      live.filterNot(f => condemned(nameOf(f))) ++ pendingRepl)
+  }
+
+  /** The files a batch over `(start, end]` must emit, resolved through
+    * the lake's generation log — exactly-once across compaction:
+    *
+    *  1. every generation in `(start.gen, end.gen]` must be recorded and
+    *     must condemn only shards this stream had consumed (directly, or
+    *     as replacements of earlier applied generations) — otherwise
+    *     un-emitted rows now exist only mixed into replacement shards
+    *     and resume is provably impossible: fail actionably;
+    *  2. replacement shards (recorded BY NAME in an applied generation)
+    *     are rewrites of already-emitted rows: skipped, though the end
+    *     offset still tracks them;
+    *  3. any tracked/offered name that is GONE with no generation record
+    *     explaining it means the lake was rewritten or expired outside
+    *     the protocol: fail actionably (round 4's requireNoRewrite,
+    *     generation-aware). Retention deletion of consumed shards is
+    *     still indistinguishable from a rewrite and still trips this —
+    *     the documented price of exactly-once over name sets.
+    */
+  def resolveFresh(path: String, fs: FileSystem, dir: Path, live: Seq[String],
+                   start: GeomedeaOffset, end: GeomedeaOffset): Seq[String] = {
+    val log = LakeGenerations.read(fs, dir)
+    val applied = log.filter(g => g.gen > start.gen && g.gen <= end.gen).sortBy(_.gen)
+    if (applied.size != (end.gen - start.gen)) throw new IllegalStateException(
+      s"streaming offsets span lake generations ${start.gen}->${end.gen} under $path " +
+        s"but the generation log records only ${applied.size} of those compactions " +
+        s"(log lost, or checkpoint older than the ${LakeGenerations.MaxGenerations}-" +
+        "record horizon): cannot prove exactly-once across the missing rewrites. " +
+        "Restart the stream with a FRESH checkpoint over the current lake.")
+    val consumed = scala.collection.mutable.HashSet.empty[String]
+    start.files.foreach(f => consumed += nameOf(f))
+    val appliedRepl = scala.collection.mutable.HashSet.empty[String]
+    applied.foreach { g =>
+      val notConsumed = g.condemned.filterNot(n => consumed(n) || appliedRepl(n))
+      if (notConsumed.nonEmpty) throw new IllegalStateException(
+        s"lake generation ${g.gen} under $path compacted ${notConsumed.size} shard(s) " +
+          s"this stream had not yet consumed (e.g. ${notConsumed.head}): their rows now " +
+          "live only inside replacement shards mixed with already-emitted rows, so " +
+          "exactly-once resume is impossible. Compact after tailing streams catch up, " +
+          "or restart the stream with a FRESH checkpoint over the compacted lake.")
+      appliedRepl ++= g.replacements
+    }
+    val liveNames = live.iterator.map(nameOf).toSet
+    val recordedEver = log.iterator
+      .flatMap(g => g.condemned.iterator ++ g.replacements.iterator).toSet
+    val endNames = end.files.map(nameOf)
+    val gone = (consumed.iterator ++ endNames.iterator)
+      .filterNot(n => liveNames(n) || recordedEver(n)).toSeq.distinct
     if (gone.nonEmpty) throw new IllegalStateException(
       s"streaming offsets reference ${gone.size} shard(s) no longer present under " +
-        s"$path (e.g. ${gone.head}): the lake was rewritten (compaction or " +
-        "truncate-overwrite) while a stream was tailing it. Compaction rewrites row " +
-        "identity; restart the stream with a FRESH checkpoint over the compacted lake.")
+        s"$path (e.g. ${gone.head}) with no generation record explaining them: the " +
+        "lake was rewritten (truncate-overwrite) or expired by retention outside the " +
+        "compaction protocol. Restart the stream with a FRESH checkpoint over the " +
+        "current lake.")
+    val freshNames = endNames.filterNot(n => consumed(n) || appliedRepl(n)).toSet
+    val missing = freshNames.filterNot(liveNames)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"shard(s) this batch must emit are not present under $path (e.g. " +
+        s"${missing.head}): either a compaction swap is mid-flight or crashed (run " +
+        "graft.jobs.Compact.compact on the lake to finish it, then retry), or a " +
+        "compaction overtook a replaying batch (restart the stream with a FRESH " +
+        "checkpoint over the compacted lake).")
+    end.files.filter(f => freshNames(nameOf(f)))
   }
 
   private[v2] def quote(s: String): String =
@@ -222,11 +310,37 @@ object GeomedeaOffset {
     } + "\""
 
   def fromJson(json: String): GeomedeaOffset = {
-    // inverse of json() only — a flat array of strings
     val t = json.trim
-    require(t.startsWith("[") && t.endsWith("]"), s"bad geomedea offset: $json")
+    // legacy (round 4) offsets were the bare name array — generation 0
+    if (t.startsWith("[")) return GeomedeaOffset(0L, parseStringArray(t))
+    require(t.startsWith("{") && t.endsWith("}"), s"bad geomedea offset: $json")
+    // our own json() writes "gen" first, so the first match is the key
+    val gen = """"gen"\s*:\s*(\d+)""".r.findFirstMatchIn(t)
+      .getOrElse(throw new IllegalArgumentException(s"bad geomedea offset (no gen): $json"))
+      .group(1).toLong
+    val fi = t.indexOf("\"files\"")
+    require(fi >= 0, s"bad geomedea offset (no files): $json")
+    val open = t.indexOf('[', fi)
+    require(open >= 0, s"bad geomedea offset (no files array): $json")
+    // string-aware close-bracket scan: names may legally contain ']'
+    var i = open
+    var inStr = false
+    var close = -1
+    while (i < t.length && close < 0) {
+      val c = t.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
+      else if (c == '"') inStr = true
+      else if (c == ']') close = i
+      i += 1
+    }
+    require(close > open, s"bad geomedea offset (unterminated files): $json")
+    GeomedeaOffset(gen, parseStringArray(t.substring(open, close + 1)))
+  }
+
+  /** Inverse of the sorted-quoted-array encoding only. */
+  private def parseStringArray(t: String): Seq[String] = {
     val body = t.substring(1, t.length - 1)
-    if (body.isEmpty) return GeomedeaOffset(Seq.empty)
+    if (body.trim.isEmpty) return Seq.empty
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
     var i = 0
@@ -248,6 +362,6 @@ object GeomedeaOffset {
       }
       i += 1
     }
-    GeomedeaOffset(out.result())
+    out.result()
   }
 }

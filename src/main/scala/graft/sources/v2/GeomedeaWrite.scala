@@ -42,7 +42,8 @@ class GeomedeaWriteBuilder(path: String, info: LogicalWriteInfo)
       // (writer/mod.rs:24-27); default 64 KiB (lib.rs:47)
       val pageSizeGoal = info.options.getLong("pageSizeGoal", GeomedeaFile.DefaultPageSizeGoal)
       require(pageSizeGoal > 0, s"pageSizeGoal must be positive; got $pageSizeGoal")
-      new GeomedeaBatchWrite(path, info.schema(), compressed, pageSizeGoal, doTruncate)
+      new GeomedeaBatchWrite(path, info.schema(), compressed, pageSizeGoal, doTruncate,
+        ShardToken.from(info))
     }
   }
 }
@@ -53,14 +54,10 @@ final case class GeomedeaCommit(tmpName: String, finalName: String,
     extends WriterCommitMessage
 
 class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
-                         pageSizeGoal: Long, truncate: Boolean) extends BatchWrite {
+                         pageSizeGoal: Long, truncate: Boolean,
+                         jobToken: String) extends BatchWrite {
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-
-  // job-unique shard prefix: task ids RESTART across Spark sessions, so
-  // part-<pid>-<taskId> names from two append jobs could collide and
-  // fail the publish rename; a per-job token makes appends always safe
-  private val jobToken = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GeomedeaWriterFactory(path, schema, compressed, pageSizeGoal, conf, jobToken)

@@ -148,6 +148,69 @@ class CompactionSpec extends AnyFunSuite {
     assert(Compact.compact(spark, dir, numShards = 2, format = "geomedea") == 0) // wrong-suffix no-op
   }
 
+  test("sliced compaction: bounded planned set per swap, rows identical, pruning improves") {
+    // a 100k-shard lake must not pay one 100k-way union on the driver:
+    // maxShardsPerCall bounds each swap's planned set; each slice is its
+    // own pinned-set generation swap
+    val dir = overlappingLake(9)
+    val east = Envelope.fromDegrees(100, 0, 110, 10)
+    val before = idsAt(dir)
+    assert(before.size == 180)
+    assert(GeomedeaTable.scanFiles(dir, Some(east)).size == 9)
+    val written = Compact.compact(spark, dir, numShards = 6, maxShardsPerCall = 3)
+    assert(idsAt(dir) == before, "sliced compaction must preserve every row byte-identically")
+    // one generation recorded per slice, jointly condemning all 9 appends
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = graft.sources.v2.LakeGenerations.read(fs, p)
+    assert(gens.size == 3, s"expected 3 slice generations, got ${gens.size}")
+    assert(gens.flatMap(_.condemned).toSet.size == 9)
+    assert(gens.map(_.gen) == Seq(1L, 2L, 3L))
+    // every slice bounded: no generation condemned more than the cap
+    assert(gens.forall(_.condemned.size <= 3))
+    // pruning improved: the east rect no longer plans every shard
+    assert(GeomedeaTable.scanFiles(dir, Some(east)).size < written)
+    // a second, unsliced pass converges to fully-global clustering
+    Compact.compact(spark, dir, numShards = 6)
+    assert(idsAt(dir) == before)
+    assert(GeomedeaTable.scanFiles(dir, Some(east)).size <= 4)
+  }
+
+  test("generation-record crash recovery: an interrupted swap is finished before planning") {
+    // simulate a compact that crashed right after recording its
+    // generation: the staged replacement exists and is journaled, but no
+    // rename/delete ran — the next call must publish the replacement,
+    // delete the condemned shard, and only then plan
+    val dir = overlappingLake(3)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val token = "c0123456789abcdef"
+    val stage = new org.apache.hadoop.fs.Path(p, s"${Compact.StagePrefix}$token")
+    fs.mkdirs(stage)
+    val repl = (900 until 920).map(i => pt(i % 10, i % 5, i.toLong))
+    val out = fs.create(new org.apache.hadoop.fs.Path(stage, s"part-$token-0.geomedea"), true)
+    out.write(GeomedeaFile.write(repl, compressed = true, pageSizeGoal = 256)); out.close()
+    graft.sources.v2.LakeGenerations.append(fs, p, token,
+      condemned = Seq("append-00.geomedea"), replacements = Seq(s"part-$token-0.geomedea"))
+    assert(Compact.hasPendingSwap(fs, p))
+    Compact.compact(spark, dir, numShards = 2)
+    // append-00's rows (0..19) were replaced by 900..919 BEFORE planning;
+    // append-01/02's rows all survive
+    val after = idsAt(dir).map(_._1)
+    assert(after == ((900 until 920) ++ (100 until 120) ++ (200 until 220)).map(_.toLong).toSet,
+      s"got ${after.toSeq.sorted}")
+    assert(!Compact.hasPendingSwap(fs, p))
+    assert(!fs.exists(stage))
+    // an orphan stage with NO record (crash before the record) is residue:
+    // cleaned up without touching the lake
+    val orphan = new org.apache.hadoop.fs.Path(p, s"${Compact.StagePrefix}cdeadbeef")
+    fs.mkdirs(orphan)
+    val rows = idsAt(dir)
+    Compact.compact(spark, dir, numShards = 2)
+    assert(!fs.exists(orphan))
+    assert(idsAt(dir) == rows)
+  }
+
   test("auto shard sizing targets targetShardBytes; empty lake is a no-op") {
     val dir = overlappingLake(4)
     // tiny target -> many shards; huge target -> one shard

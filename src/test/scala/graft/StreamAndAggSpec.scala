@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 class StreamAndAggSpec extends AnyFunSuite {
   val Sf = "/root/testdata/sf0.001"
 
@@ -199,21 +201,21 @@ class StreamAndAggSpec extends AnyFunSuite {
     assert(got == Map(0L -> 15L, 1L -> 15L, 2L -> 15L, 3L -> 15L))
   }
 
-  test("compaction under a tailing stream fails loudly, not silently re-emitting") {
-    // compaction rewrites row identity (fresh shard names); a stream
-    // resuming its checkpoint across it must NOT replay into deleted
-    // files (bare executor FileNotFound) or re-emit the whole lake —
-    // the source detects the rewrite at planning and names the fix
+  // shared fixture for the compaction-resume tests: a lake writer + an
+  // AvailableNow foreachBatch runner that records each batch's row count
+  private def compactionFixture(): (String, Range => Unit, () => Unit,
+      java.util.concurrent.ConcurrentLinkedQueue[Long]) = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("gm_rw").toString
     val lake = s"$base/lake"
-    (0 until 40).map { i =>
-      (graft.geom.Wkb.write(graft.geom.Wkb.Pt(i * 1000000, i * 500000)),
-        Seq(graft.sources.GeoJsonIngest.toCell("id",
-          graft.codec.FeatureCodec.PInt64(i.toLong))))
-    }.toDF("wkb", "props")
-      .repartition(2).write.format("geomedea").mode("append").save(lake)
+    def writeBatch(ids: Range): Unit =
+      ids.map { i =>
+        (graft.geom.Wkb.write(graft.geom.Wkb.Pt(i * 1000000, i * 500000)),
+          Seq(graft.sources.GeoJsonIngest.toCell("id",
+            graft.codec.FeatureCodec.PInt64(i.toLong))))
+      }.toDF("wkb", "props")
+        .repartition(2).write.format("geomedea").mode("append").save(lake)
     val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     def run(): Unit = {
       val q = spark.readStream.format("geomedea").load(lake)
@@ -224,17 +226,76 @@ class StreamAndAggSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    (lake, writeBatch, () => run(), got)
+  }
+
+  private def causes(t: Throwable): Seq[Throwable] =
+    if (t == null) Seq.empty else t +: causes(t.getCause)
+
+  test("caught-up stream RESUMES exactly-once across compaction; offsets stay O(live shards)") {
+    // round 4 made compaction a stop-the-world for tailing streams (loud
+    // rewrite error, fresh checkpoint required); the generation log lets
+    // a stream that consumed the condemned shards recognize replacements
+    // as rewrites of already-emitted rows and keep going
+    val (lake, writeBatch, run, got) = compactionFixture()
+    writeBatch(0 until 40)
     run()
-    assert(got.iterator().next() == 40L)
+    assert(got.asScala.sum == 40L)
+    graft.jobs.Compact.compact(spark, lake, numShards = 1)
+    run() // crosses generation 1: no error, nothing re-emitted
+    assert(got.asScala.sum == 40L, s"stream re-emitted rows across compaction: $got")
+    // post-compaction appends flow through the same checkpoint
+    writeBatch(40 until 60)
+    run()
+    assert(got.asScala.sum == 60L, s"post-compaction append lost/duplicated: $got")
+    // a second compaction folds the appends in; the stream survives again
+    graft.jobs.Compact.compact(spark, lake, numShards = 1)
+    writeBatch(60 until 70)
+    run()
+    assert(got.asScala.sum == 70L, s"second compaction broke resume: $got")
+    // checkpoint offsets track (generation, LIVE shard names) — not every
+    // shard ever: the newest offset file references exactly the live set
+    val ckpt = new java.io.File(lake).getParent + "/ckpt/offsets"
+    val newest = new java.io.File(ckpt).listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    val text = new String(java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
+    val live = new java.io.File(lake).listFiles().count(_.getName.endsWith(".geomedea"))
+    val tracked = "\\.geomedea\"".r.findAllIn(text).size
+    assert(tracked == live && live <= 3,
+      s"offset must track the $live live shards only, found $tracked in: $text")
+    assert(text.contains("\"gen\":2"), s"offset must carry the lake generation: $text")
+  }
+
+  test("compaction of shards a stream had NOT consumed still fails loudly, naming the fix") {
+    // un-emitted rows now exist only mixed into replacement shards:
+    // exactly-once resume is provably impossible and the source must say
+    // so instead of re-emitting or losing rows
+    val (lake, writeBatch, run, got) = compactionFixture()
+    writeBatch(0 until 40)
+    run()
+    assert(got.asScala.sum == 40L)
+    writeBatch(40 until 60) // appended but never consumed
     graft.jobs.Compact.compact(spark, lake, numShards = 1)
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Seq.empty else t +: causes(t.getCause)
-    assert(causes(e).exists(_.getMessage != null) &&
-      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("rewritten")),
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("not yet consumed")),
+      s"expected a not-yet-consumed error, got: ${e.getMessage}")
+    assert(got.asScala.sum == 40L, s"stream must not emit after the error: $got")
+  }
+
+  test("out-of-protocol rewrite (no generation record) still fails loudly") {
+    val (lake, writeBatch, run, got) = compactionFixture()
+    writeBatch(0 until 40)
+    run()
+    // retention/manual delete of a consumed shard: no generation explains
+    // the missing name, so the source cannot prove exactly-once
+    val dir = new java.io.File(lake)
+    val victim = dir.listFiles().filter(_.getName.endsWith(".geomedea")).head
+    assert(victim.delete())
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    assert(causes(e).exists(c => c.getMessage != null && c.getMessage.contains("rewritten")),
       s"expected a rewrite-naming error, got: ${e.getMessage}")
-    // no second emission happened
-    assert(got.size() == 1, s"stream must not re-emit after a rewrite: $got")
+    assert(got.asScala.sum == 40L)
   }
 
   test("streaming -> native format: foreachBatch writes reference-format shards per batch") {
