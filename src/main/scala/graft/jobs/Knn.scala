@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   *  1. per-cell doc counts (one groupBy over <= 4^res cells) are collected
   *     to the driver — the moral equivalent of the reference's packed
   *     R-tree level: a tiny summary that prunes the probe;
-  *  2. for each query the driver widens a Chebyshev ring over those counts
-  *     until it provably contains k candidates, then inflates it to the
+  *  2. each query widens a Chebyshev ring over those counts until it
+  *     provably contains k candidates, then inflates it to the
   *     exclusion-safe radius R with R*minDim >= (r+1)*sqrt(cw^2+ch^2)
   *     (any point outside ring R is farther than every point inside ring
-  *     r), and a single cell equi-join + per-query window top-k finishes.
+  *     r), and a single cell equi-join + per-query bounded top-k agg
+  *     finishes. Ring planning runs on the driver (broadcast join) for
+  *     small query sets and inside an executor flatMap (shuffle join)
+  *     past [[MaxQueries]] — same math, same results.
   *
   * No driver loop of Spark jobs, no iterative re-scans: the doc side is
   * touched exactly twice regardless of k or data skew. Distances are
@@ -27,13 +30,44 @@ object Knn {
 
   val DefaultRes = 4
 
-  /** Hard ceiling on the driver-side query collect (contract guard). */
+  /** Past this many queries the probe side stops being broadcastable and
+    * [[knn]] switches to the distributed expansion automatically.
+    */
   val MaxQueries = 100000
+
+  /** Exclusion-safe probe radius for one query cell: widen a Chebyshev
+    * ring until the histogram proves it holds k candidates, then inflate
+    * so any point outside the returned ring is farther than every point
+    * inside the counted one. The +1 guards the boundary-tie case (an
+    * outside point at exactly the exclusion distance competing with an
+    * equal-distance inside point). Pure — runs on the driver for small
+    * query sets and inside the executor flatMap for large ones.
+    */
+  private def safeRadius(cellCounts: Map[Long, Long], qcell: Long, k: Int, res: Int,
+                         perAxis: Long, diag: Double, minDim: Double): Int = {
+    def ringCount(r: Int): Long =
+      Cells.kRing(qcell, res, r).iterator.map(c => cellCounts.getOrElse(c, 0L)).sum
+    var r = 0
+    while (r < perAxis && ringCount(r) < k) r += 1
+    math.min(perAxis.toDouble, math.ceil((r + 1) * diag / minDim) + 1).toInt
+  }
 
   /** points: (doc_id, lng, lat, ...); queries: (query_id, q_lng, q_lat).
     * Returns (query_id, rank, doc_id, dist2), rank 1..k. Exact.
+    *
+    * Query sets up to `maxBroadcast` rows are ring-planned on the driver
+    * and broadcast into the cell join (probe side never shuffles). Larger
+    * sets switch AUTOMATICALLY to the same algorithm run distributed: the
+    * per-cell histogram (O(4^res), data-bound not query-bound) is
+    * broadcast to executors, each query plans its own ring inside a
+    * flatMap, and the cell join shuffles both sides. Results are
+    * identical; only the join strategy changes. At doc-scale query sets
+    * raise `res` so the cell key space (4^res) comfortably exceeds the
+    * shuffle partition count — res 4's 256 keys would make a skewy
+    * shuffle — and AQE's skew-join handles residual hot cells.
     */
-  def knn(points: DataFrame, queries: DataFrame, k: Int, res: Int = DefaultRes): DataFrame = {
+  def knn(points: DataFrame, queries: DataFrame, k: Int, res: Int = DefaultRes,
+          maxBroadcast: Int = MaxQueries): DataFrame = {
     val perAxis = Cells.cellsPerAxis(res)
     val cw = Cells.cellWidth(res).toDouble
     val ch = Cells.cellHeight(res).toDouble
@@ -48,34 +82,39 @@ object Knn {
     val cellCounts: Map[Long, Long] = pts.groupBy("cell").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    def ringCount(cell: Long, r: Int): Long =
-      Cells.kRing(cell, res, r).iterator.map(c => cellCounts.getOrElse(c, 0L)).sum
-
-    // driver-side ring planning per query (queries are small/broadcastable
-    // — the documented contract, enforced LOUDLY: limit(max+1) bounds the
-    // collect itself, so an oversized query set fails with this message
-    // instead of OOMing the driver)
-    val qRows: Array[Row] = queries.select("query_id", "q_lng", "q_lat")
-      .limit(MaxQueries + 1).collect()
-    require(qRows.length <= MaxQueries,
-      s"knn plans rings driver-side and expects a small/broadcastable query set " +
-        s"(> $MaxQueries rows); for query sets at doc scale use a cell equi-join " +
-        s"(SpatialJoin.cellJoin on gmKRing-expanded query cells) instead")
-    val probeCells: Seq[(Long, Int, Int, Long)] = qRows.toSeq.flatMap { row =>
-      val qid = row.getLong(0)
-      val qlng = row.getInt(1); val qlat = row.getInt(2)
-      val qcell = Cells.cellId(qlng, qlat, res)
-      var r = 0
-      while (r < perAxis && ringCount(qcell, r) < k) r += 1
-      // +1 guards the boundary-tie case (outside point at exactly the
-      // exclusion distance competing with an equal-distance inside point)
-      val safe = math.min(perAxis.toDouble, math.ceil((r + 1) * diag / minDim) + 1).toInt
-      Cells.kRing(qcell, res, safe).map(c => (qid, qlng, qlat, c))
-    }
-
     val spark = points.sparkSession
     import spark.implicits._
-    val qcells = probeCells.toDF("query_id", "q_lng", "q_lat", "cell")
+
+    // driver-side ring planning while the query set is broadcastable; the
+    // limit bounds the probing collect itself, so an oversized set costs
+    // maxBroadcast+1 rows of driver memory, never the full set
+    val qRows: Array[Row] = queries.select("query_id", "q_lng", "q_lat")
+      .limit(maxBroadcast + 1).collect()
+    val broadcastable = qRows.length <= maxBroadcast
+    val qcells: DataFrame = if (broadcastable) {
+      val probeCells: Seq[(Long, Int, Int, Long)] = qRows.toSeq.flatMap { row =>
+        val qid = row.getLong(0)
+        val qlng = row.getInt(1); val qlat = row.getInt(2)
+        val qcell = Cells.cellId(qlng, qlat, res)
+        val safe = safeRadius(cellCounts, qcell, k, res, perAxis, diag, minDim)
+        Cells.kRing(qcell, res, safe).map(c => (qid, qlng, qlat, c))
+      }
+      broadcast(probeCells.toDF("query_id", "q_lng", "q_lat", "cell"))
+    } else {
+      // distributed fallback: same ring planning, executor-side. The
+      // histogram is the only driver state and it is data-bound.
+      val bc = spark.sparkContext.broadcast(cellCounts)
+      val kk = k; val rr = res; val pa = perAxis; val dg = diag; val md = minDim
+      queries.select(col("query_id").cast("long"), col("q_lng").cast("int"),
+          col("q_lat").cast("int"))
+        .as[(Long, Int, Int)]
+        .flatMap { case (qid, qlng, qlat) =>
+          val qcell = Cells.cellId(qlng, qlat, rr)
+          val safe = safeRadius(bc.value, qcell, kk, rr, pa, dg, md)
+          Cells.kRing(qcell, rr, safe).map(c => (qid, qlng, qlat, c))
+        }
+        .toDF("query_id", "q_lng", "q_lat", "cell")
+    }
 
     // job 2: single cell equi-join, then a bounded top-k AGGREGATION per
     // query. Spark plans the typed Aggregator as a two-phase hash
@@ -92,7 +131,7 @@ object Knn {
     // window is needed at all — rank = position in the merged buffer.
     val dx = (col("lng").cast("long") - col("q_lng").cast("long")).cast("double")
     val dy = (col("lat").cast("long") - col("q_lat").cast("long")).cast("double")
-    val joined = pts.join(broadcast(qcells), Seq("cell"), "inner")
+    val joined = pts.join(qcells, Seq("cell"), "inner")
       .withColumn("dist2", dx * dx + dy * dy)
       .select("query_id", "doc_id", "dist2")
     val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[Cand])

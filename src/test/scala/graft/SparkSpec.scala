@@ -78,6 +78,25 @@ class SparkSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("kNN past maxBroadcast switches to the distributed expansion, brute-equal") {
+    val queries = InterleavedDocs.nationQueryPoints(spark, Sf)
+    val n = queries.count()
+    assert(n > 3, "fixture must exceed the forced broadcast ceiling")
+    // maxBroadcast+1 queries -> the executor-side flatMap + shuffle join
+    // path; results must be identical to brute force (and so to the
+    // broadcast path the previous test locked)
+    val a = rows(Knn.knn(geo, queries, 3, maxBroadcast = 3), "query_id", "rank", "doc_id")
+    val b = rows(Knn.bruteForce(geo, queries, 3), "query_id", "rank", "doc_id")
+    assert(a == b)
+    // the fallback really ran: the probe side is the executor-side
+    // flatMap (SerializeFromObject), not the driver-collected
+    // LocalTableScan the broadcast path builds
+    val plan = Knn.knn(geo, queries, 3, maxBroadcast = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SerializeFromObject"),
+      s"distributed kNN fallback must expand rings executor-side:\n$plan")
+  }
+
   test("bbox filter equals brute-force predicate and respects closed intervals") {
     val q = Envelope(-1183000000, 335000000, -1170000000, 345000000)
     val got = rows(SpatialJoin.bboxFilter(geo, q), "doc_id")
