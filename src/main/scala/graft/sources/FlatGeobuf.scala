@@ -35,7 +35,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * Scope honestly stated: round-trips every geometry type and the scalar
   * property variants this engine carries; Vec/Map properties serialize
-  * as Json-typed strings. Validated by roundtrip + a spec-derived
+  * as Json-typed payloads and read back as TYPED one-level Vec/Map with
+  * geozero's canonical scalar mapping (narrow int/float widths widen —
+  * FGB columns have no element types); deeper nesting stays JSON text.
+  * Validated by roundtrip + a spec-derived
   * byte-level golden (a minimal file assembled BY HAND in the test,
   * vtables and all, that the reader must parse) — no FGB library exists
   * offline to cross-check beyond that.
@@ -441,6 +444,27 @@ object FlatGeobuf {
     w.result()
   }
 
+  /** CJson payload -> typed value. One-level Vec/Map comes back TYPED
+    * (like the geomedea path) with the canonical scalar element mapping
+    * of [[GeoJson.propValue]] — the reference's geozero JSON mapping:
+    * bool, integral -> Int64 (UInt64 above i64::MAX), other number ->
+    * Float64, string — so narrow widths written through the bridge widen
+    * (i8 -> i64, f32 -> f64: the honest price of FGB's column model,
+    * which has no element types). Deeper nesting stays JSON text
+    * (String), as do unparseable foreign payloads — never an error.
+    */
+  private[sources] def jsonProp(txt: String): PValue = {
+    // JSON null has no PValue: arity inside a Vec must hold, so map it
+    // to the text "null" (our writer never emits one — no PNull exists)
+    def one(j: GeoJson.J): PValue =
+      GeoJson.propValue(j).getOrElse(PString("null"))
+    try GeoJson.parseJson(txt) match {
+      case GeoJson.JArr(xs)    => PVec(xs.map(one))
+      case GeoJson.JObj(fs)    => PMap(fs.map { case (k, v) => k -> one(v) })
+      case other               => GeoJson.propValue(other).getOrElse(PString(txt))
+    } catch { case scala.util.control.NonFatal(_) => PString(txt) }
+  }
+
   private def readProps(bin: Array[Byte], colNames: Array[String],
                         colTypes: Array[Int]): Vector[(String, PValue)] = {
     val r = new R(bin)
@@ -459,7 +483,8 @@ object FlatGeobuf {
         case CULong  => PUInt64(r.u64())
         case CFloat  => PFloat32(java.lang.Float.intBitsToFloat(r.u32().toInt))
         case CDouble => PFloat64(java.lang.Double.longBitsToDouble(r.u64()))
-        case CString | CJson => PString(new String(r.take(r.u32().toInt), UTF_8))
+        case CString => PString(new String(r.take(r.u32().toInt), UTF_8))
+        case CJson   => jsonProp(new String(r.take(r.u32().toInt), UTF_8))
         case CBinary => PBytes(r.take(r.u32().toInt))
         case other   => throw new IllegalArgumentException(s"unsupported FGB column type $other")
       }

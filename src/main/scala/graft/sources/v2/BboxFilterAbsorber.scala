@@ -55,9 +55,42 @@ final class BboxFilterAbsorber {
     case None => false
   }
 
+  /** Tighten the rect from an explicit source (the `bbox` read option);
+    * composes with absorbed filters by intersection, like any bound.
+    */
+  def seed(e: Envelope): Unit = {
+    qMinLng = math.max(qMinLng, e.minLng); qMinLat = math.max(qMinLat, e.minLat)
+    qMaxLng = math.min(qMaxLng, e.maxLng); qMaxLat = math.min(qMaxLat, e.maxLat)
+  }
+
   /** The absorbed rect, or None when nothing tightened it. */
   def bbox: Option[Envelope] =
     if (qMinLng == Int.MinValue && qMinLat == Int.MinValue &&
       qMaxLng == Int.MaxValue && qMaxLat == Int.MaxValue) None
     else Some(Envelope(qMinLng, qMinLat, math.max(qMinLng, qMaxLng), math.max(qMinLat, qMaxLat)))
+}
+
+object BboxFilterAbsorber {
+  /** The explicit `bbox` read option: `"minLng,minLat,maxLng,maxLat"` in
+    * the engine's scaled 1e-7-degree ints. This is the ONLY channel a
+    * STREAMING scan has for the rect — Spark's MicroBatchExecution builds
+    * the scan straight off `newScanBuilder(options).build()` and never
+    * calls pushFilters (verified against the Spark 4.1 bytecode: no
+    * PushDownUtils in MicroBatchExecution) — so `readStream.option
+    * ("bbox", ...)` is how a tailing query gets planning-time shard
+    * pruning + ranged index reads. Batch reads may pass it too; it
+    * intersects with whatever the WHERE-clause absorber tightens.
+    * Semantics match the reference's bbox query: the scan emits exactly
+    * the features whose envelope intersects the rect (closed intervals).
+    */
+  def fromOptions(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+  : Option[Envelope] =
+    Option(options.get("bbox")).map { s =>
+      val p = s.split(',')
+      require(p.length == 4,
+        s"bbox option must be 'minLng,minLat,maxLng,maxLat' (scaled 1e-7 deg ints); got '$s'")
+      val v = p.map(_.trim.toInt)
+      require(v(0) <= v(2) && v(1) <= v(3), s"bbox option has min > max: '$s'")
+      Envelope(v(0), v(1), v(2), v(3))
+    }
 }

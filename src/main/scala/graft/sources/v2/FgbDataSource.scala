@@ -135,7 +135,7 @@ class FgbTable(path: String, tableSchema: StructType) extends Table with Support
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema == FgbTable.Schema,
       "flatgeobuf reads use the source's own schema; user-specified read schemas are unsupported")
-    new FgbScanBuilder(path)
+    new FgbScanBuilder(path, BboxFilterAbsorber.fromOptions(options))
   }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
   : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -152,10 +152,12 @@ class FgbTable(path: String, tableSchema: StructType) extends Table with Support
   }
 }
 
-class FgbScanBuilder(path: String)
+class FgbScanBuilder(path: String,
+                     optBbox: Option[Envelope] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
   private val absorber = new BboxFilterAbsorber
+  optBbox.foreach(absorber.seed)
   private var pushed = Array.empty[Filter]
   private var required: StructType = FgbTable.Schema
   private var limit: Option[Int] = None
@@ -190,14 +192,17 @@ class FgbScanBuilder(path: String)
     */
   private lazy val allFiles: Seq[(String, Long, Long)] = FgbTable.scanFiles(path, None)
 
+  // the explicit bbox option restricts the scan like a filter would, so
+  // a header-only count (whole-table) must not be offered with it set
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    isCountStarOnly(agg) && allFiles.forall(_._3 > 0)
+    isCountStarOnly(agg) && optBbox.isEmpty && allFiles.forall(_._3 > 0)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    if (isCountStarOnly(agg) && allFiles.forall(_._3 > 0)) { countPushed = true; true }
-    else false
+    if (isCountStarOnly(agg) && optBbox.isEmpty && allFiles.forall(_._3 > 0)) {
+      countPushed = true; true
+    } else false
 
   override def build(): Scan = {
     val bbox = absorber.bbox

@@ -188,7 +188,7 @@ class GeomedeaTable(path: String, tableSchema: StructType = GeomedeaTable.Schema
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema == GeomedeaTable.Schema,
       "geomedea reads use the source's own schema; user-specified read schemas are unsupported")
-    new GeomedeaScanBuilder(path)
+    new GeomedeaScanBuilder(path, BboxFilterAbsorber.fromOptions(options))
   }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
   : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -207,11 +207,13 @@ class GeomedeaTable(path: String, tableSchema: StructType = GeomedeaTable.Schema
   }
 }
 
-class GeomedeaScanBuilder(path: String)
+class GeomedeaScanBuilder(path: String,
+                          optBbox: Option[graft.geom.Envelope] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private val absorber = new BboxFilterAbsorber
+  optBbox.foreach(absorber.seed)
   private var pushed = Array.empty[Filter]
   private var required: StructType = GeomedeaTable.Schema
   private var limit: Option[Int] = None
@@ -238,13 +240,15 @@ class GeomedeaScanBuilder(path: String)
       agg.aggregateExpressions()(0)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
 
+  // the explicit bbox option restricts the scan like a filter would, so
+  // a header-only count (whole-table) must not be offered with it set
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    isCountStarOnly(agg)
+    isCountStarOnly(agg) && optBbox.isEmpty
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (isCountStarOnly(agg)) { countPushed = true; true } else false
+    if (isCountStarOnly(agg) && optBbox.isEmpty) { countPushed = true; true } else false
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {

@@ -81,8 +81,11 @@ class GeomedeaMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
     val fresh = GeomedeaOffset.resolveFresh(path, fs, new Path(path),
       statuses.map(_.getPath.toString),
       start.asInstanceOf[GeomedeaOffset], end.asInstanceOf[GeomedeaOffset])
-    // same planning-time file pruning as the batch scan: with a pushed
-    // bbox, new shards whose root bounds miss the rect are skipped
+    // same planning-time file pruning as the batch scan: with a bbox
+    // (the `bbox` READ OPTION — Spark's MicroBatchExecution builds this
+    // scan straight from newScanBuilder and never calls pushFilters, so
+    // the option is the streaming push channel), new shards whose root
+    // bounds miss the rect are skipped
     // ENTIRELY (the offset still advances past them — offsets track
     // names, not survivors, so pruned shards never replan). Filters stay
     // residual, so pruning is a superset and Spark re-applies them.
@@ -128,7 +131,7 @@ class GeomedeaMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
 /** Streaming READ of a `.fgb` lake — same generation-qualified offset /
   * exactly-once model as [[GeomedeaMicroBatchStream]] (shards are
   * immutable once commit-renamed by [[FgbWrite]], `_tmp_` invisible,
-  * compaction resumes via [[LakeGenerations]]), with pushed-bbox pruning
+  * compaction resumes via [[LakeGenerations]]), with bbox-option pruning
   * of new shards from their header envelopes (read via two positioned
   * range reads each, pooled).
   */
@@ -142,16 +145,17 @@ class FgbMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
 
   private def fs: FileSystem = new Path(path).getFileSystem(conf.value)
 
-  private def listShards(): Seq[String] = {
+  private def listShardStatuses(): Seq[FileStatus] = {
     val p = new Path(path)
     val f = fs
     if (!f.exists(p)) Seq.empty
-    else if (f.getFileStatus(p).isFile) Seq(p.toString)
+    else if (f.getFileStatus(p).isFile) Seq(f.getFileStatus(p))
     else f.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".fgb"))
-      .map(_.getPath.toString)
-      .sorted
+      .sortBy(_.getPath.toString)
   }
+
+  private def listShards(): Seq[String] = listShardStatuses().map(_.getPath.toString)
 
   private var availableNowTarget: Option[GeomedeaOffset] = None
   private def snapshot(): GeomedeaOffset =
@@ -167,13 +171,31 @@ class FgbMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
   override def deserializeOffset(json: String): Offset = GeomedeaOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val fresh = GeomedeaOffset.resolveFresh(path, fs, new Path(path), listShards(),
+    val statuses = listShardStatuses()
+    val fresh = GeomedeaOffset.resolveFresh(path, fs, new Path(path),
+      statuses.map(_.getPath.toString),
       start.asInstanceOf[GeomedeaOffset], end.asInstanceOf[GeomedeaOffset])
+    // same manifest fast path + length validation as the geomedea stream:
+    // one `_manifest.tsv` read covers the batch (entries whose recorded
+    // length disagrees with the live file fall back to a header read —
+    // a stale same-named entry must never silently prune a fresh shard,
+    // offsets advance past pruned names); manifest extents are scaled
+    // ints rounded OUTWARD at write, so pruning stays a superset
     val kept = bbox match {
       case None => fresh
       case Some(q) =>
         val f = fs
-        PlannerPool.mapFiles(fresh) { x =>
+        val dir = new Path(path)
+        val lenByName = statuses.map(s => s.getPath.getName -> s.getLen).toMap
+        val manifest = GeomedeaManifest.read(f, dir).getOrElse(Map.empty)
+          .filter { case (n, e) => lenByName.get(n).contains(e.len) }
+        val (known, unknown) = fresh.partition(x => manifest.contains(new Path(x).getName))
+        // forall, not exists: extent None == count 0 == UNKNOWN in the
+        // FGB spec — never prune on it (mirrors FgbTable.scanFiles; the
+        // geomedea stream prunes None because there count 0 means empty)
+        val keptKnown = known.filter(x =>
+          manifest(new Path(x).getName).extent.forall(_.intersects(q)))
+        val keptUnknown = PlannerPool.mapFiles(unknown) { x =>
           val in = f.open(new Path(x))
           val h =
             try graft.sources.FlatGeobuf.readHeaderRanged((off, k) => {
@@ -185,7 +207,8 @@ class FgbMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
               mnx > q.maxLng / 1e7 || mny > q.maxLat / 1e7)
           }
           if (keep) Some(x) else None
-        }.flatten.sorted
+        }.flatten
+        (keptKnown ++ keptUnknown).sorted
     }
     kept.map(x => GeomedeaPartition(x): InputPartition).toArray
   }

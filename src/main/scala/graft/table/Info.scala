@@ -23,6 +23,9 @@ object Info {
       sb.append(s"  rows=${r.getAs[Long]("rows")} hilbert=[${r.getAs[Long]("min_hilbert")}..${r.getAs[Long]("max_hilbert")}]" +
         s" span=${r.getAs[Long]("hilbert_span")} checksum=${r.getAs[Long]("checksum")}\n")
     }
+    // the same lake-health block container lakes print (LakeHealth) so
+    // the three layouts read identically for an operator
+    sb.append(LakeHealth.render(tableDir, LakeHealth.parquetTable(spark, tableDir)))
     sb.toString
   }
 
@@ -52,25 +55,8 @@ object Info {
     * checks before/after maintenance. Driver-side listing + one manifest
     * read; no shard data is touched.
     */
-  def renderLake(spark: SparkSession, dir: String, suffix: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
-    val manifest = graft.sources.v2.GeomedeaManifest.validated(fs, p, files)
-    val manifestState =
-      if (manifest.isDefined) "valid (one-read planning)"
-      else if (fs.exists(new org.apache.hadoop.fs.Path(p,
-        graft.sources.v2.GeomedeaManifest.FileName))) "STALE (header-read fallback)"
-      else "absent (header-read fallback)"
-    val pending = fs.exists(new org.apache.hadoop.fs.Path(p, graft.jobs.Compact.PendingFile))
-    val counted = manifest.map(_.values.map(_.count).sum)
-    s"""lake: $dir ($suffix)
-       |shards: ${files.size}  bytes: ${files.map(_.getLen).sum}${counted.map(c => s"  features: $c").getOrElse("")}
-       |manifest: $manifestState
-       |pending_compaction_swap: ${if (pending) "YES (next compact() completes it)" else "no"}
-       |""".stripMargin
-  }
+  def renderLake(spark: SparkSession, dir: String, suffix: String): String =
+    LakeHealth.render(dir, LakeHealth.containerLake(spark, dir, suffix))
 
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: graft.table.Info <tableDir | file.fgb>")

@@ -107,6 +107,35 @@ class CompactionSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(p, Compact.PendingFile), false)
   }
 
+  test("LakeHealth: one consistent view over parquet, geomedea and fgb layouts") {
+    import graft.table.LakeHealth
+    // container lake: generation history appears after a compaction
+    val dir = overlappingLake(3)
+    val h0 = LakeHealth.describe(spark, dir)
+    assert(h0.layout == "geomedea" && h0.files == 3 && h0.generation == 0
+      && h0.history.isEmpty && !h0.pendingMaintenance)
+    Compact.compact(spark, dir, numShards = 2)
+    val h1 = LakeHealth.describe(spark, dir)
+    assert(h1.layout == "geomedea" && h1.files == 2 && h1.generation == 1)
+    assert(h1.rows.contains(60L) && h1.manifestState.startsWith("valid"))
+    assert(h1.history == Seq(h1.history.head) && h1.history.head.startsWith("gen 1: compacted 3 -> 2"))
+
+    // parquet table: lineage snapshot version plays the generation role
+    val geo = graft.table.InterleavedDocs.withGeometry(
+      graft.table.InterleavedDocs.docs(spark, "/root/testdata/sf0.001"))
+    val out = java.nio.file.Files.createTempDirectory("graft_health").toString
+    graft.jobs.Ingest.write(geo, out, numPartitions = 2)
+    val hp = LakeHealth.describe(spark, out)
+    assert(hp.layout == "parquet" && hp.generation == 1 && hp.files > 0)
+    assert(hp.rows.contains(geo.count()) && hp.manifestState.startsWith("valid"))
+    assert(hp.history.head.contains("v=1"))
+    // the same fields render through the same block for every layout
+    val block = LakeHealth.render(out, hp)
+    Seq("lake:", "shards:", "manifest:", "generation:", "pending_compaction_swap:")
+      .foreach(k => assert(block.contains(k), s"missing $k in:\n$block"))
+    assert(graft.table.Info.render(spark, out).contains("generation: 1"))
+  }
+
   test("crashed swap: a pending journal is completed before the next compaction plans") {
     val dir = overlappingLake(3)
     // simulate a compact that crashed after its append commit: the

@@ -516,8 +516,11 @@ class DataSourceV2Spec extends AnyFunSuite {
       "restart from checkpoint must emit ONLY the new shards (offset roundtrip)")
     assert(runOnce() == Set.empty, "no new shards -> empty batch")
 
-    // pushed bbox prunes whole NEW shards at streaming planning too
-    val far = spark.readStream.format("geomedea").load(lake)
+    // the bbox OPTION prunes whole NEW shards at streaming planning
+    // (Spark never calls pushFilters on micro-batch scans — the option
+    // is the streaming push channel; the where stays as defense)
+    val far = spark.readStream.format("geomedea")
+      .option("bbox", "900000000,-900000000,910000000,900000000").load(lake)
       .where(col("max_lng") >= 900000000 && col("min_lng") <= 910000000 &&
         col("max_lat") >= -900000000 && col("min_lat") <= 900000000)
       .select(col("props")(0)("i").as("id"))

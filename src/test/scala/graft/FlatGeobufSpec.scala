@@ -147,7 +147,7 @@ class FlatGeobufSpec extends AnyFunSuite {
     }
   }
 
-  test("roundtrip: scalar property variants keep their types; Vec/Map go Json") {
+  test("roundtrip: scalar property variants keep their types; Vec/Map come back typed") {
     val feats = Seq(Feature(Wkb.Pt(1, 2), Vector(
       "b" -> PBool(true), "i8" -> PInt8(-5), "u8" -> PUInt8(200),
       "i16" -> PInt16(-1000), "u16" -> PUInt16(60000),
@@ -165,10 +165,37 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(props("f32") == PFloat32(1.5f) && props("f64") == PFloat64(math.Pi))
     assert(props("s") == PString("héllo"))
     assert(props("bin").asInstanceOf[PBytes].v.toSeq == Seq[Byte](1, 2, 3))
-    // Vec flattens to its Json string form (documented scope)
-    assert(props("v").isInstanceOf[PString])
+    // one-level Vec of canonical scalars round-trips TYPED and exact
+    assert(props("v") == PVec(Vector(PInt64(7), PString("x"))))
     // property ORDER within each feature is preserved
     assert(back.head.props.map(_._1) == feats.head.props.map(_._1))
+  }
+
+  test("Vec/Map through the FGB container: typed one level, canonical widening, nested stays JSON") {
+    val feats = Seq(Feature(Wkb.Pt(1, 2), Vector(
+      // canonical element types: exact roundtrip (u64 element = 2^63,
+      // exercising the above-i64::MAX arm while staying double-exact —
+      // JSON numbers ride through double, so 2^64-1 would land Float64)
+      "v" -> PVec(Vector(PInt64(7), PFloat64(2.5), PBool(true), PString("x"),
+        PUInt64(Long.MinValue))),
+      "m" -> PMap(Vector("a" -> PInt64(1), "b" -> PString("y"), "c" -> PFloat64(0.5))),
+      // narrow widths widen to the canonical scalars (FGB columns have
+      // no element types — documented, same as geozero's JSON mapping)
+      "w" -> PVec(Vector(PInt8(-5), PUInt16(60000), PFloat32(1.5f))),
+      // deeper nesting stays JSON text inside the typed outer level
+      "n" -> PVec(Vector(PInt64(1), PVec(Vector(PInt64(2), PInt64(3))))),
+      // bytes inside a vec serialize as base64 JSON strings (no typed
+      // lane in JSON) and come back as the base64 text
+      "vb" -> PVec(Vector(PBytes(Array[Byte](1, 2)))))))
+    val props = FlatGeobuf.selectAll(FlatGeobuf.write(feats)).head.props.toMap
+    assert(props("v") == PVec(Vector(PInt64(7), PFloat64(2.5), PBool(true), PString("x"),
+      PUInt64(Long.MinValue))))
+    assert(props("m") == PMap(Vector("a" -> PInt64(1), "b" -> PString("y"),
+      "c" -> PFloat64(0.5))))
+    assert(props("w") == PVec(Vector(PInt64(-5), PInt64(60000), PFloat64(1.5))))
+    assert(props("n") == PVec(Vector(PInt64(1), PString("[2,3]"))))
+    assert(props("vb") == PVec(Vector(PString(
+      java.util.Base64.getEncoder.encodeToString(Array[Byte](1, 2))))))
   }
 
   test("layout: features sorted by ASCENDING hilbert (FGB convention, opposite of geomedea)") {
@@ -484,6 +511,81 @@ class FlatGeobufSpec extends AnyFunSuite {
     writeBatch(20 until 30)
     assert(runOnce() == (20L until 30L).toSet)
     assert(runOnce() == Set.empty)
+  }
+
+  test("fgb streaming bbox planning consumes the manifest: forged extent prunes, " +
+    "stale length falls back, unknown count is never pruned") {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("fgb_stream_mf").toString
+    val lake = s"$base/lake"
+    def writeShard(ids: Range, lngBaseDeg: Double): Unit =
+      ids.map { i =>
+        (Wkb.write(Wkb.Pt(((lngBaseDeg + (i % 10) * 0.1) * 1e7).toInt, (i % 10) * 1000000)),
+          Seq(GeoJsonIngest.toCell("id", PInt64(i.toLong))))
+      }.toDF("wkb", "props")
+        .repartition(1).write.format("flatgeobuf").mode("append").save(lake)
+    writeShard(0 until 20, 0.0)      // west shard
+    writeShard(1000 until 1020, 100.0) // east shard
+    val p = new org.apache.hadoop.fs.Path(lake)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest = graft.sources.v2.GeomedeaManifest.read(fs, p).get
+    assert(manifest.size == 2)
+    val eastName = manifest.values.find(_.minLng > 500000000).get.name
+
+    def runEastRect(ckpt: String): Set[Long] = {
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      // the bbox OPTION is the streaming push channel (Spark never calls
+      // pushFilters on micro-batch scans); the where stays as defense
+      val q = spark.readStream.format("flatgeobuf")
+        .option("bbox", "990000000,-900000000,1020000000,900000000").load(lake)
+        .where(col("max_lng") >= 990000000 && col("min_lng") <= 1020000000 &&
+          col("max_lat") >= -900000000 && col("min_lat") <= 900000000)
+        .select(col("props")(0)("i").as("id"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.collect().foreach(r => got.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", s"$base/$ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+
+    // untouched manifest: the east shard survives, west is pruned
+    assert(runEastRect("ckpt0") == (1000L until 1020L).toSet)
+
+    // forge the east entry's extent WEST with the true byte length: the
+    // stream must prune east on the forged extent = proof the manifest
+    // (not a header read) drove planning
+    def rewrite(entries: Seq[graft.sources.v2.GeomedeaManifest.Entry]): Unit =
+      graft.sources.v2.GeomedeaManifest.write(fs, p, entries, "forge")
+    val forged = manifest.values.map { e =>
+      if (e.name == eastName) e.copy(minLng = 0, minLat = 0, maxLng = 1000, maxLat = 1000)
+      else e
+    }.toSeq
+    rewrite(forged)
+    assert(runEastRect("ckpt1") == Set.empty)
+
+    // same forged extent but a WRONG length: the entry is distrusted and
+    // the header read restores the shard
+    rewrite(manifest.values.map { e =>
+      if (e.name == eastName)
+        e.copy(len = e.len + 1, minLng = 0, minLat = 0, maxLng = 1000, maxLat = 1000)
+      else e
+    }.toSeq)
+    assert(runEastRect("ckpt2") == (1000L until 1020L).toSet)
+
+    // count 0 == UNKNOWN in FGB: extent-less entries are never pruned
+    rewrite(manifest.values.map { e =>
+      if (e.name == eastName)
+        e.copy(count = 0, minLng = 0, minLat = 0, maxLng = 1000, maxLat = 1000)
+      else e
+    }.toSeq)
+    assert(runEastRect("ckpt3") == (1000L until 1020L).toSet)
   }
 
   test("SQL over the format: CREATE TABLE USING flatgeobuf + WHERE drives the same prune") {
