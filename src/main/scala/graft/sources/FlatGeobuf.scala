@@ -605,15 +605,7 @@ object FlatGeobuf {
     val leafOffsets = new Array[Long](ordered.length)
     var featOff = 0L
     ordered.zipWithIndex.foreach { case ((f, _), i) =>
-      val fb = new FbBuilder
-      val geomRef = writeGeometry(fb, f.geom, withType = uniformType == 0)
-      val propBytes = propsBinary(f.props, colIdx, types)
-      val propRef = if (propBytes.nonEmpty) fb.createByteVector(propBytes) else 0
-      fb.startTable(3)
-      fb.slotRef(0, geomRef)
-      if (propRef != 0) fb.slotRef(1, propRef)
-      val root = fb.endTable()
-      val block = fb.finishSizePrefixed(root)
+      val block = featureBlock(f, uniformType, colIdx, types)
       featBlocks += block
       leafOffsets(i) = featOff
       featOff += block.length
@@ -623,11 +615,43 @@ object FlatGeobuf {
       if (ordered.isEmpty) Array.emptyByteArray
       else buildTree(ordered.indices.map(i => (ordered(i)._2, leafOffsets(i))), nodeSize)
 
-    // header
+    val hdr = headerBlock(name, extent, ordered.length.toLong, nodeSize, names, types, uniformType)
+
+    val out = new W(Magic.length + hdr.length + tree.length + featOff.toInt)
+    out.bytes(Magic)
+    out.bytes(hdr)
+    out.bytes(tree)
+    featBlocks.foreach(out.bytes)
+    FgbWritten(out.result(), extent,
+      (Magic.length + hdr.length + tree.length).toLong,
+      (Magic.length + hdr.length).toLong)
+  }
+
+  /** One size-prefixed Feature table (shared by [[writeFull]] and
+    * [[FgbSpool]] so the two paths stay byte-identical).
+    */
+  private def featureBlock(f: Feature, uniformType: Int,
+                           colIdx: Map[String, Int], types: Array[Int]): Array[Byte] = {
+    val fb = new FbBuilder
+    val geomRef = writeGeometry(fb, f.geom, withType = uniformType == 0)
+    val propBytes = propsBinary(f.props, colIdx, types)
+    val propRef = if (propBytes.nonEmpty) fb.createByteVector(propBytes) else 0
+    fb.startTable(3)
+    fb.slotRef(0, geomRef)
+    if (propRef != 0) fb.slotRef(1, propRef)
+    fb.finishSizePrefixed(fb.endTable())
+  }
+
+  /** The size-prefixed Header table (shared by [[writeFull]] and
+    * [[FgbSpool]]). `count == 0` writes no envelope and node size 0
+    * (= no index), matching the empty-container shape.
+    */
+  private def headerBlock(name: String, extent: Envelope, count: Long, nodeSize: Int,
+                          names: Array[String], types: Array[Int], uniformType: Int): Array[Byte] = {
     val hb = new FbBuilder
     val nameRef = hb.createString(name)
     val envRef =
-      if (ordered.isEmpty) 0
+      if (count == 0) 0
       else hb.createDoubleVector(Array(
         deg(extent.minLng), deg(extent.minLat), deg(extent.maxLng), deg(extent.maxLat)))
     val colRefs = names.indices.map { i =>
@@ -643,19 +667,167 @@ object FlatGeobuf {
     if (envRef != 0) hb.slotRef(1, envRef)
     if (uniformType != 0) hb.slotByte(2, uniformType.toByte)
     if (colsRef != 0) hb.slotRef(7, colsRef)
-    hb.slotLong(8, ordered.length.toLong)
-    hb.slotShort(9, if (ordered.isEmpty) 0 else nodeSize) // 0 = no index
-    val headerRoot = hb.endTable()
-    val headerBlock = hb.finishSizePrefixed(headerRoot)
+    hb.slotLong(8, count)
+    hb.slotShort(9, if (count == 0) 0 else nodeSize) // 0 = no index
+    hb.finishSizePrefixed(hb.endTable())
+  }
 
-    val out = new W(Magic.length + headerBlock.length + tree.length + featOff.toInt)
-    out.bytes(Magic)
-    out.bytes(headerBlock)
-    out.bytes(tree)
-    featBlocks.foreach(out.bytes)
-    FgbWritten(out.result(), extent,
-      (Magic.length + headerBlock.length + tree.length).toLong,
-      (Magic.length + headerBlock.length).toLong)
+  final case class FgbSpoolWritten(extent: Envelope, featureCount: Long, totalBytes: Long)
+
+  /** Spill-backed FGB shard writer — the [[graft.sources.ShardSpool]]
+    * analog for the FlatGeobuf container: O(index + one block) heap.
+    *
+    * FGB blocks cannot be encoded on arrival: the file's GLOBAL column
+    * table (first-appearance key order over the HILBERT-sorted features,
+    * type pinned by the first value seen) and the uniform-geometry-type
+    * decision are only known once every feature has been seen. So
+    * arrival spills the extent-independent bincode encoding
+    * ([[graft.codec.FeatureCodec]]) to a local temp file plus small
+    * per-feature metadata: envelope, length, geometry type, and the
+    * interned (key, column-type) list — everything the global pass needs
+    * WITHOUT a second decode pass over the spool. Commit computes the
+    * layout order and column table from the metadata alone, re-reads the
+    * spool once in layout order encoding size-prefixed Feature blocks to
+    * a second temp file, then streams magic ++ header ++ index ++ blocks
+    * to the destination.
+    *
+    * Byte-identical to [[writeFull]] for the same features in the same
+    * arrival order (asserted in PropertiesSpec).
+    */
+  final class FgbSpool(name: String = "graft", nodeSize: Int = DefaultNodeSize) {
+    require(nodeSize >= 2 && nodeSize <= 0xFFFF,
+      s"nodeSize must be in [2, 65535]; got $nodeSize")
+
+    import java.io.{BufferedOutputStream, OutputStream, RandomAccessFile}
+    import java.nio.file.Files
+
+    private val spoolPath = Files.createTempFile("graft-fgb-spool", ".feat")
+    private val spoolOut: OutputStream =
+      new BufferedOutputStream(Files.newOutputStream(spoolPath), 1 << 16)
+    private val minLng = new scala.collection.mutable.ArrayBuilder.ofInt
+    private val minLat = new scala.collection.mutable.ArrayBuilder.ofInt
+    private val maxLng = new scala.collection.mutable.ArrayBuilder.ofInt
+    private val maxLat = new scala.collection.mutable.ArrayBuilder.ofInt
+    private val lens = new scala.collection.mutable.ArrayBuilder.ofInt
+    private val gTypes = new scala.collection.mutable.ArrayBuilder.ofInt
+    // per-feature (keyId << 5 | columnType) in prop order; ColumnType <= 12
+    private val propMeta = new scala.collection.mutable.ArrayBuffer[Array[Int]]
+    private val keyIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    private val keyNames = new scala.collection.mutable.ArrayBuffer[String]
+    private var n = 0
+    private var done = false
+
+    def add(f: Feature): Unit = {
+      require(!done, "spool already committed/deleted")
+      val enc = encodeFeature(f)
+      spoolOut.write(enc)
+      val env = f.geom.envelope
+      minLng += env.minLng; minLat += env.minLat
+      maxLng += env.maxLng; maxLat += env.maxLat
+      lens += enc.length
+      gTypes += geomTypeOf(f.geom)
+      propMeta += f.props.iterator.map { case (k, v) =>
+        val id = keyIds.getOrElseUpdate(k, { keyNames += k; keyNames.length - 1 })
+        (id << 5) | columnTypeOf(v)
+      }.toArray
+      n += 1
+    }
+
+    def count: Int = n
+
+    /** Assemble and stream the container; `open` receives the exact final
+      * byte count before any destination I/O. The sink is closed here.
+      */
+    def commit(open: Long => OutputStream): FgbSpoolWritten = {
+      require(!done, "spool already committed/deleted")
+      done = true
+      spoolOut.close()
+      val mnLng = minLng.result(); val mnLat = minLat.result()
+      val mxLng = maxLng.result(); val mxLat = maxLat.result()
+      val len = lens.result(); val gt = gTypes.result()
+      def envOf(i: Int): Envelope = Envelope(mnLng(i), mnLat(i), mxLng(i), mxLat(i))
+
+      var extent = Envelope.empty
+      var i = 0
+      while (i < n) { extent = extent.union(envOf(i)); i += 1 }
+      val hkeys = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        val e = envOf(i)
+        hkeys(i) = Hilbert.scaled(e.centerLng, e.centerLat, extent)
+        i += 1
+      }
+      val offs = new Array[Long](n)
+      i = 1
+      while (i < n) { offs(i) = offs(i - 1) + len(i - 1); i += 1 }
+      // Hilbert ASC (FGB convention), ties by arrival == writeFull's stable sortBy
+      val order = Array.tabulate[Integer](n)(Integer.valueOf)
+      java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
+        val c = java.lang.Long.compare(hkeys(a.intValue), hkeys(b.intValue))
+        if (c != 0) c else Integer.compare(a.intValue, b.intValue)
+      })
+
+      // global column table: first appearance in LAYOUT order, type
+      // pinned by the first value seen (== writeFull over `ordered`)
+      val colOrder = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      order.foreach { j =>
+        propMeta(j.intValue).foreach { packed =>
+          val id = packed >>> 5
+          if (!colOrder.contains(id)) colOrder(id) = packed & 31
+        }
+      }
+      val names = colOrder.keys.map(keyNames(_)).toArray
+      val types = colOrder.values.toArray
+      val colIdx = names.zipWithIndex.toMap
+      val uniformType = {
+        var t = if (n == 0) 0 else gt(0)
+        i = 1
+        while (i < n && t != 0) { if (gt(i) != t) t = 0; i += 1 }
+        t
+      }
+
+      val blockPath = Files.createTempFile("graft-fgb-spool", ".blocks")
+      try {
+        val leaves = Vector.newBuilder[(Envelope, Long)]
+        var featOff = 0L
+        val raf = new RandomAccessFile(spoolPath.toFile, "r")
+        try {
+          val blocksOut = new BufferedOutputStream(Files.newOutputStream(blockPath), 1 << 16)
+          try order.foreach { j =>
+            val buf = new Array[Byte](len(j.intValue))
+            raf.seek(offs(j.intValue)); raf.readFully(buf)
+            val block = featureBlock(decodeFeature(buf), uniformType, colIdx, types)
+            blocksOut.write(block)
+            leaves += ((envOf(j.intValue), featOff))
+            featOff += block.length
+          } finally blocksOut.close()
+        } finally raf.close()
+        val tree =
+          if (n == 0) Array.emptyByteArray
+          else buildTree(leaves.result(), nodeSize)
+        val hdr = headerBlock(name, extent, n.toLong, nodeSize, names, types, uniformType)
+        val total = Magic.length.toLong + hdr.length + tree.length + featOff
+        val out = open(total)
+        try {
+          out.write(Magic)
+          out.write(hdr)
+          out.write(tree)
+          Files.copy(blockPath, out)
+        } finally out.close()
+        FgbSpoolWritten(extent, n.toLong, total)
+      } finally {
+        Files.deleteIfExists(blockPath)
+        Files.deleteIfExists(spoolPath)
+        ()
+      }
+    }
+
+    /** Abort: drop the spool and its temp file. Safe to call twice. */
+    def delete(): Unit = {
+      if (!done) { done = true; try spoolOut.close() catch { case _: Exception => () } }
+      Files.deleteIfExists(spoolPath)
+      ()
+    }
   }
 
   // ---------------------------------------------------------------------------

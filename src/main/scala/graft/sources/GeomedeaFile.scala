@@ -48,13 +48,40 @@ object GeomedeaFile {
       Hilbert.scaled(b.centerLng, b.centerLat, extent)
     }(Ordering[Long].reverse)
 
-    // page assembly
+    val pageBuf = new java.io.ByteArrayOutputStream()
+    val asm = assemblePages(
+      ordered.iterator.map { case (f, b) => (FeatureCodec.encodeFeature(f), b) },
+      compressed, pageSizeGoal, pageBuf)
+    val tree = PackedRTree.build(asm.leaves)
+    val out = new W(FeatureCodec.HeaderBytes + tree.length + pageBuf.size)
+    out.bytes(FeatureCodec.encodeHeader(compressed, asm.pageCount, ordered.length.toLong))
+    out.bytes(tree)
+    out.bytes(pageBuf.toByteArray)
+    Written(out.result(), extent, asm.pageCount)
+  }
+
+  /** Page-assembly result: index leaves in layout order
+    * (bounds, page_starting_offset, in-page offset), finished-page count,
+    * and the page section's total byte length (headers included).
+    */
+  private[sources] final case class PageAssembly(
+      leaves: Vector[(Envelope, Long, Int)], pageCount: Long, pageBytes: Long)
+
+  /** Shared page-assembly core: consumes already-encoded features in
+    * LAYOUT order and writes finished page blocks (PageHeader ++ body)
+    * to `sink`, holding only the current page in memory. [[writeFull]]
+    * feeds it an in-memory iterator (byte-golden tested); [[ShardSpool]]
+    * feeds it a temp-file-backed iterator so an executor task never
+    * holds its shard.
+    */
+  private[sources] def assemblePages(
+      ordered: Iterator[(Array[Byte], Envelope)], compressed: Boolean,
+      pageSizeGoal: Long, sink: java.io.OutputStream): PageAssembly = {
     val leaves = Vector.newBuilder[(Envelope, Long, Int)]
-    val pages = Vector.newBuilder[Array[Byte]] // pageHeader ++ encoded body
     var pageStart = 0L       // encoded offset of current page within page section
     var body = new W()       // uncompressed body of the current page
     var pageFeatures = 0L
-    var pagesClosed = 0 // VectorBuilder forbids result() before the final build
+    var pagesClosed = 0L
 
     def closePage(): Unit = {
       pagesClosed += 1
@@ -63,29 +90,20 @@ object GeomedeaFile {
       val w = new W(12 + encoded.length)
       w.u32(encoded.length.toLong).u32(decoded.length.toLong).u32(pageFeatures)
       w.bytes(encoded)
-      pages += w.result()
+      sink.write(w.result())
       pageStart += encoded.length.toLong + FeatureCodec.PageHeaderBytes
       body = new W()
       pageFeatures = 0
     }
 
-    ordered.foreach { case (f, bounds) =>
-      val loc = (pageStart, body.size)
-      val enc = FeatureCodec.encodeFeature(f)
+    ordered.foreach { case (enc, bounds) =>
+      leaves += ((bounds, pageStart, body.size))
       body.u64(enc.length.toLong).bytes(enc)
       pageFeatures += 1
-      leaves += ((bounds, loc._1, loc._2))
       if (body.size.toLong > pageSizeGoal) closePage()
     }
     if (pageFeatures > 0 || pagesClosed == 0) closePage()
-
-    val pageBlocks = pages.result()
-    val tree = PackedRTree.build(leaves.result())
-    val out = new W(FeatureCodec.HeaderBytes + tree.length + pageBlocks.map(_.length).sum)
-    out.bytes(FeatureCodec.encodeHeader(compressed, pageBlocks.length.toLong, ordered.length.toLong))
-    out.bytes(tree)
-    pageBlocks.foreach(out.bytes)
-    Written(out.result(), extent, pageBlocks.length.toLong)
+    PageAssembly(leaves.result(), pagesClosed, pageStart)
   }
 
   /** Decoded pages can never legitimately approach this (the goal is

@@ -1,0 +1,150 @@
+package graft.sources
+
+import graft.codec.FeatureCodec
+import graft.codec.FeatureCodec.Feature
+import graft.curve.Hilbert
+import graft.geom.Envelope
+import graft.index.PackedRTree
+
+import java.io.{BufferedOutputStream, OutputStream, RandomAccessFile}
+import java.nio.file.{Files, Path}
+
+/** Spill-backed single-shard container writer: O(index + one page) heap.
+  *
+  * [[GeomedeaFile.writeFull]] materializes every `Feature` and the whole
+  * output array — fine for driver-side interop twins, but an executor
+  * task writing a shard at 100 TB scale should never hold the shard.
+  * The spool:
+  *
+  *  1. encodes each feature to its bincode bytes ON ARRIVAL (the
+  *     feature codec is extent-independent — only the layout ORDER and
+  *     the header depend on the extent) and appends them to a local
+  *     temp file, keeping just the envelope + offset + length in
+  *     primitive arrays (~20 bytes/feature — the same O(n) the packed
+  *     R-tree index itself needs, vs. the materialized geometry
+  *     vectors + props maps + a second full serialized copy that
+  *     `writeFull` holds);
+  *  2. at [[commit]], computes the extent, sorts an index permutation
+  *     into the Hilbert-DESCENDING layout order (stable, so the output
+  *     is byte-identical to `writeFull` for the same features in the
+  *     same arrival order — asserted in ShardSpoolSpec), re-reads the
+  *     spool in layout order, assembles/compresses pages into a second
+  *     temp file via the shared [[GeomedeaFile.assemblePages]] core,
+  *     then streams header ++ index ++ pages to the destination.
+  *
+  * The layout-order re-read is random-access against a local file that
+  * is at most the shard's encoded size — page-cache resident for any
+  * sane shard. Both temp files are deleted on commit or [[delete]].
+  *
+  * Reference: `writer/mod.rs:68-140` (format), `writer/mod.rs:77-82`
+  * (Hilbert-desc layout) — reproduced streaming, not buffered.
+  */
+final class ShardSpool(compressed: Boolean,
+                       pageSizeGoal: Long = GeomedeaFile.DefaultPageSizeGoal) {
+
+  final case class SpoolWritten(extent: Envelope, pageCount: Long,
+                                featureCount: Long, totalBytes: Long)
+
+  private val spoolPath: Path = Files.createTempFile("graft-spool", ".feat")
+  private var spoolOut: OutputStream =
+    new BufferedOutputStream(Files.newOutputStream(spoolPath), 1 << 16)
+  private val minLng = new scala.collection.mutable.ArrayBuilder.ofInt
+  private val minLat = new scala.collection.mutable.ArrayBuilder.ofInt
+  private val maxLng = new scala.collection.mutable.ArrayBuilder.ofInt
+  private val maxLat = new scala.collection.mutable.ArrayBuilder.ofInt
+  private val lens = new scala.collection.mutable.ArrayBuilder.ofInt
+  private var n = 0
+  private var tail = 0L
+  private var done = false
+
+  def add(f: Feature): Unit = add(FeatureCodec.encodeFeature(f), f.geom.envelope)
+
+  def add(encoded: Array[Byte], env: Envelope): Unit = {
+    require(!done, "spool already committed/deleted")
+    spoolOut.write(encoded)
+    minLng += env.minLng; minLat += env.minLat
+    maxLng += env.maxLng; maxLat += env.maxLat
+    lens += encoded.length
+    tail += encoded.length
+    n += 1
+  }
+
+  def count: Int = n
+
+  /** Encoded-feature bytes spooled so far — a cheap lower bound on the
+    * final container size, available before commit.
+    */
+  def spooledBytes: Long = tail
+
+  /** Assemble and stream the container. `open` receives the exact final
+    * byte count (known before any destination I/O) and returns the sink
+    * — the caller can enforce size guards and pick the path without the
+    * spool ever holding the container. The sink is closed here.
+    */
+  def commit(open: Long => OutputStream): SpoolWritten = {
+    require(!done, "spool already committed/deleted")
+    done = true
+    spoolOut.close()
+    val mnLng = minLng.result(); val mnLat = minLat.result()
+    val mxLng = maxLng.result(); val mxLat = maxLat.result()
+    val len = lens.result()
+    def envOf(i: Int): Envelope = Envelope(mnLng(i), mnLat(i), mxLng(i), mxLat(i))
+
+    var extent = Envelope.empty
+    var i = 0
+    while (i < n) { extent = extent.union(envOf(i)); i += 1 }
+    val keys = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      val e = envOf(i)
+      keys(i) = Hilbert.scaled(e.centerLng, e.centerLat, extent)
+      i += 1
+    }
+    val offs = new Array[Long](n)
+    i = 1
+    while (i < n) { offs(i) = offs(i - 1) + len(i - 1); i += 1 }
+    // Hilbert DESC, ties by arrival order == writeFull's stable sortBy
+    val order = Array.tabulate[Integer](n)(Integer.valueOf)
+    java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
+      val c = java.lang.Long.compare(keys(b.intValue), keys(a.intValue))
+      if (c != 0) c else Integer.compare(a.intValue, b.intValue)
+    })
+
+    val pagePath = Files.createTempFile("graft-spool", ".pages")
+    try {
+      val raf = new RandomAccessFile(spoolPath.toFile, "r")
+      val asm =
+        try {
+          val pagesOut = new BufferedOutputStream(Files.newOutputStream(pagePath), 1 << 16)
+          try GeomedeaFile.assemblePages(
+            order.iterator.map { j =>
+              val buf = new Array[Byte](len(j.intValue))
+              raf.seek(offs(j.intValue)); raf.readFully(buf)
+              (buf, envOf(j.intValue))
+            },
+            compressed, pageSizeGoal, pagesOut)
+          finally pagesOut.close()
+        } finally raf.close()
+      val tree = PackedRTree.build(asm.leaves)
+      val total = FeatureCodec.HeaderBytes.toLong + tree.length + asm.pageBytes
+      val out = open(total)
+      try {
+        out.write(FeatureCodec.encodeHeader(compressed, asm.pageCount, n.toLong))
+        out.write(tree)
+        Files.copy(pagePath, out)
+      } finally out.close()
+      SpoolWritten(extent, asm.pageCount, n.toLong, total)
+    } finally {
+      Files.deleteIfExists(pagePath)
+      Files.deleteIfExists(spoolPath)
+      ()
+    }
+  }
+
+  /** Abort: drop the spool and its temp file. Safe to call twice. */
+  def delete(): Unit = {
+    if (!done) { done = true; try spoolOut.close() catch { case _: Exception => () } }
+    Files.deleteIfExists(spoolPath)
+    ()
+  }
+}

@@ -129,7 +129,10 @@ class FgbWriterFactory(path: String, schema: StructType, nodeSize: Int,
       private val propsType = schema(propsIdx).dataType
       private val enc = ExpressionEncoder[GeomedeaWriterFactory.WRow]()
       private val deser = enc.resolveAndBind().createDeserializer()
-      private val feats = Vector.newBuilder[Feature]
+      // spill-backed (FlatGeobuf.FgbSpool): features spool to local temp
+      // files and page out streaming, so task heap stays O(index + one
+      // block) regardless of shard size
+      private val spool = new FlatGeobuf.FgbSpool(nodeSize = nodeSize)
       private val fin = f"part-$jobToken-$partitionId%05d-$taskId.fgb"
       // tmp suffix must NOT be .fgb: reader globs/truncate select on it
       private val tmp = s"_tmp_$fin.tmp"
@@ -138,34 +141,34 @@ class FgbWriterFactory(path: String, schema: StructType, nodeSize: Int,
       override def write(record: InternalRow): Unit = {
         val w = deser(new GenericInternalRow(Array[Any](
           record.get(wkbIdx, BinaryType), record.get(propsIdx, propsType))))
-        feats += Feature(graft.geom.Wkb.read(w.wkb),
-          w.props.map(GeoJsonIngest.fromCell).toVector)
+        spool.add(Feature(graft.geom.Wkb.read(w.wkb),
+          w.props.map(GeoJsonIngest.fromCell).toVector))
       }
 
       override def commit(): WriterCommitMessage = {
-        val fl = feats.result()
-        val written = FlatGeobuf.writeFull(fl, nodeSize = nodeSize)
-        val bytes = written.bytes
-        require(bytes.length <= graft.sources.GeomedeaSpark.MaxFileBytes,
-          s"partition $partitionId: ${bytes.length} bytes > " +
-            s"${graft.sources.GeomedeaSpark.MaxFileBytes}; repartition to more shards")
-        val dir = new Path(path)
-        val fs = dir.getFileSystem(conf.value)
-        fs.mkdirs(dir)
-        wroteTmp = true
-        val out = fs.create(new Path(dir, tmp), true)
-        try out.write(bytes) finally out.close()
-        FgbCommit(tmp, fin, bytes.length.toLong, fl.length.toLong,
+        val written = spool.commit { total =>
+          require(total <= graft.sources.GeomedeaSpark.MaxFileBytes,
+            s"partition $partitionId: $total bytes > " +
+              s"${graft.sources.GeomedeaSpark.MaxFileBytes}; repartition to more shards")
+          val dir = new Path(path)
+          val fs = dir.getFileSystem(conf.value)
+          fs.mkdirs(dir)
+          wroteTmp = true
+          fs.create(new Path(dir, tmp), true)
+        }
+        FgbCommit(tmp, fin, written.totalBytes, written.featureCount,
           written.extent.minLng, written.extent.minLat,
           written.extent.maxLng, written.extent.maxLat)
       }
 
-      override def abort(): Unit =
+      override def abort(): Unit = {
+        spool.delete()
         if (wroteTmp) {
           val dir = new Path(path)
           try dir.getFileSystem(conf.value).delete(new Path(dir, tmp), false)
           catch { case _: java.io.IOException => () }
         }
-      override def close(): Unit = ()
+      }
+      override def close(): Unit = spool.delete()
     }
 }

@@ -17,11 +17,13 @@ import org.apache.spark.util.SerializableConfiguration
   * (`GeomedeaSpark.write`, driver collect) deliberately is not. Each
   * shard is a complete reference-format container (header + packed
   * R-tree + zstd pages, Hilbert-desc layout applied per shard by
-  * [[GeomedeaFile.write]]), so the result directory is exactly what
-  * [[GeomedeaDataSource]] and `readDir` consume, with per-file pruning
-  * intact. Callers control shard count/size via `repartition` (each
-  * partition must fit [[graft.sources.GeomedeaSpark.MaxFileBytes]] —
-  * the format is single-node per file by design).
+  * [[graft.sources.ShardSpool]] — spill-backed, so task heap stays
+  * O(index + one page) regardless of shard size), and the result
+  * directory is exactly what [[GeomedeaDataSource]] and `readDir`
+  * consume, with per-file pruning intact. Callers control shard
+  * count/size via `repartition`; shards are capped at
+  * [[graft.sources.GeomedeaSpark.MaxFileBytes]] (a format/reader
+  * ergonomics bound, no longer a writer-memory one).
   *
   * Input contract: columns `wkb: binary` and `props: array<PropCell>`
   * (any extra columns are ignored). `option("compressed", "false")`
@@ -123,7 +125,10 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
         s"props column must be array<PropCell> (${enc.schema(1).dataType.catalogString}); " +
           s"got ${propsType.catalogString}")
       private val deser = enc.resolveAndBind().createDeserializer()
-      private val feats = Vector.newBuilder[Feature]
+      // spill-backed: features are bincode-encoded on arrival and page
+      // assembly streams from local temp files, so task heap stays
+      // O(index + one page) regardless of shard size (ShardSpool docs)
+      private val spool = new graft.sources.ShardSpool(compressed, pageSizeGoal)
       private val fin = f"part-$jobToken-$partitionId%05d-$taskId.geomedea"
       // tmp suffix must NOT be .geomedea: truncate and reader globs
       // select on that suffix and must never see in-flight shards
@@ -133,24 +138,22 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
       override def write(record: InternalRow): Unit = {
         val w = deser(new GenericInternalRow(Array[Any](
           record.get(wkbIdx, BinaryType), record.get(propsIdx, propsType))))
-        feats += Feature(graft.geom.Wkb.read(w.wkb),
-          w.props.map(GeoJsonIngest.fromCell).toVector)
+        spool.add(Feature(graft.geom.Wkb.read(w.wkb),
+          w.props.map(GeoJsonIngest.fromCell).toVector))
       }
 
       override def commit(): WriterCommitMessage = {
-        val fl = feats.result()
-        val written = GeomedeaFile.writeFull(fl, compressed, pageSizeGoal)
-        val bytes = written.bytes
-        require(bytes.length <= graft.sources.GeomedeaSpark.MaxFileBytes,
-          s"partition $partitionId: ${bytes.length} bytes > " +
-            s"${graft.sources.GeomedeaSpark.MaxFileBytes}; repartition to more shards")
-        val dir = new Path(path)
-        val fs = dir.getFileSystem(conf.value)
-        fs.mkdirs(dir)
-        wroteTmp = true
-        val out = fs.create(new Path(dir, tmp), true)
-        try out.write(bytes) finally out.close()
-        GeomedeaCommit(tmp, fin, bytes.length.toLong, fl.length.toLong,
+        val written = spool.commit { total =>
+          require(total <= graft.sources.GeomedeaSpark.MaxFileBytes,
+            s"partition $partitionId: $total bytes > " +
+              s"${graft.sources.GeomedeaSpark.MaxFileBytes}; repartition to more shards")
+          val dir = new Path(path)
+          val fs = dir.getFileSystem(conf.value)
+          fs.mkdirs(dir)
+          wroteTmp = true
+          fs.create(new Path(dir, tmp), true)
+        }
+        GeomedeaCommit(tmp, fin, written.totalBytes, written.featureCount,
           written.extent.minLng, written.extent.minLat,
           written.extent.maxLng, written.extent.maxLat)
       }
@@ -160,13 +163,15 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
         * job-level abort only sees tmp names that made it into commit
         * messages, and tmp names never collide with a retry's).
         */
-      override def abort(): Unit =
+      override def abort(): Unit = {
+        spool.delete()
         if (wroteTmp) {
           val dir = new Path(path)
           try dir.getFileSystem(conf.value).delete(new Path(dir, tmp), false)
           catch { case _: java.io.IOException => () }
         }
-      override def close(): Unit = ()
+      }
+      override def close(): Unit = spool.delete()
     }
 }
 

@@ -5,7 +5,7 @@ import graft.codec.FeatureCodec.{Feature, PBool, PFloat64, PInt64, PString, PVal
 import graft.curve.Hilbert
 import graft.geom.{Envelope, Wkb, Wkt}
 import graft.index.PackedRTree
-import graft.sources.GeomedeaFile
+import graft.sources.{FlatGeobuf, GeomedeaFile}
 import org.scalacheck.{Gen, Prop, Properties}
 
 /** The SURVEY §5 property suite (ScalaCheck, raw `Properties` — the
@@ -110,6 +110,29 @@ object PropertiesSpec extends Properties("graft") {
         got == brute && GeomedeaFile.selectAll(bytes).length == feats.length
     }
 
+  property("spill-backed ShardSpool output is byte-identical to writeFull") =
+    Prop.forAll(
+      Gen.choose(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(geomGen,
+          Gen.choose(0, 4).flatMap(k => Gen.listOfN(k, Gen.zip(Gen.identifier, pvalGen))).map(_.toVector)))),
+      Gen.oneOf(64L, 256L, 1024L * 1024),
+      Gen.oneOf(true, false)) {
+      (fs: List[(Wkb.Geom, Vector[(String, PValue)])], pageGoal: Long, compressed: Boolean) =>
+        val feats = fs.map { case (g, p) => Feature(g, p) }
+        // compressed page BYTES are zstd-deterministic within one JVM/lib,
+        // so full byte equality is assertable for both codecs here
+        val expect = GeomedeaFile.writeFull(feats, compressed, pageGoal)
+        val spool = new graft.sources.ShardSpool(compressed, pageGoal)
+        feats.foreach(spool.add)
+        val sink = new java.io.ByteArrayOutputStream()
+        val w = spool.commit(_ => sink)
+        val got = sink.toByteArray
+        java.util.Arrays.equals(got, expect.bytes) &&
+          w.totalBytes == expect.bytes.length.toLong &&
+          w.extent == expect.extent && w.pageCount == expect.pageCount &&
+          w.featureCount == feats.length.toLong
+    }
+
   property("ranged bbox scan equals in-memory indexed scan at arbitrary windows") =
     Prop.forAll(
       Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, point)),
@@ -136,6 +159,22 @@ object PropertiesSpec extends Properties("graft") {
       Gen.alphaNumStr.map(v => "s" -> (PString(v): PValue)))
     Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, entry)).map(_.toVector)
   }
+
+  property("spill-backed FgbSpool output is byte-identical to FlatGeobuf.writeFull") =
+    Prop.forAll(
+      Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, Gen.zip(geomGen, fgbPropsGen))),
+      Gen.oneOf(2, 4, FlatGeobuf.DefaultNodeSize)) {
+      (fs: List[(Wkb.Geom, Vector[(String, PValue)])], nodeSize: Int) =>
+        val feats = fs.map { case (g, p) => Feature(g, p) }
+        val expect = FlatGeobuf.writeFull(feats, nodeSize = nodeSize)
+        val spool = new FlatGeobuf.FgbSpool(nodeSize = nodeSize)
+        feats.foreach(spool.add)
+        val sink = new java.io.ByteArrayOutputStream()
+        val w = spool.commit(_ => sink)
+        java.util.Arrays.equals(sink.toByteArray, expect.bytes) &&
+          w.totalBytes == expect.bytes.length.toLong &&
+          w.extent == expect.extent && w.featureCount == feats.length.toLong
+    }
 
   property("FlatGeobuf container roundtrip preserves features; indexed bbox equals brute") =
     Prop.forAll(
