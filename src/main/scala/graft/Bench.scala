@@ -196,7 +196,11 @@ object Bench {
     // likely one bad phase owns every sample of the north metric
     def headline(): (Double, Long) = time(joinTiles(docsTable))
     val headlineReps = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "5").toInt
-    headline()
+    // 2 warmups (was 1): measured r5 run arrays still improved through
+    // rep 3 ([2.21, 2.21, 1.56, 1.87, 1.25]) — C2 + codegen need more
+    // than one pass over this plan before the steady state
+    val headlineWarmups = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_WARMUPS", "2").toInt
+    (0 until math.max(1, headlineWarmups)).foreach(_ => headline())
     val runs = Seq.fill(math.max(1, headlineReps))(headline())
     val tJoinTiles = runs.map(_._1).min
     val joined = runs.head._2

@@ -207,6 +207,49 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // q46's twin over the SECOND container: streaming READ of a .fgb
+    // lake, exactly-once across a compaction (the FGB micro-batch source
+    // shares the generation-qualified offset protocol). Also end-to-end
+    // exercises the spill-backed FGB shard writer in the driver gate.
+    "q47_stream_fgb" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_srf").toString
+      val lake = s"$base/lake"
+      val staged = s"$base/rows"
+      val framed = geo(s, dir)
+        .select(col("wkb"), col("doc_id"),
+          (pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(2L)) === 0L).as("first"))
+        .as[(Array[Byte], String, Boolean)]
+        .map { case (wkb, id, first) =>
+          (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
+            "doc", graft.codec.FeatureCodec.PString(id))), first)
+        }
+        .toDF("wkb", "props", "first")
+      def append(first: Boolean): Unit =
+        framed.where(col("first") === first).select("wkb", "props")
+          .repartition(2).write.format("flatgeobuf").mode("append").save(lake)
+      def run(): Unit = {
+        val q = s.readStream.format("flatgeobuf").load(lake)
+          .select(element_at(col("prop_vals"), 1).as("doc_id"),
+            col("min_lng").cast("long").as("lng"), col("min_lat").cast("long").as("lat"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(staged); ()
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      append(first = true); run()
+      graft.jobs.Compact.compact(s, lake, numShards = 1, format = "flatgeobuf")
+      append(first = false); run()
+      s.read.parquet(staged)
+        .groupBy(pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(16L)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("lng")).as("sum_lng"), sum(col("lat")).as("sum_lat"))
+        .orderBy("bucket")
+    }),
+
     // cell cover of build-side polygons (H3/S2 analog generator)
     "q10_cell_cover" -> ((s, dir) => {
       InterleavedDocs.nationRects(s, dir)
@@ -611,6 +654,11 @@ object SparkEntry {
       s"""WITH $P SELECT doc_id, lng, lat FROM pts ORDER BY doc_id""".stripMargin,
 
     "q46_stream_read" ->
+      s"""WITH $P SELECT CAST(substr(doc_id, 5) AS BIGINT) % 16 AS bucket, count(*) AS n,
+         |CAST(sum(lng) AS BIGINT) AS sum_lng, CAST(sum(lat) AS BIGINT) AS sum_lat
+         |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_stream_fgb" ->
       s"""WITH $P SELECT CAST(substr(doc_id, 5) AS BIGINT) % 16 AS bucket, count(*) AS n,
          |CAST(sum(lng) AS BIGINT) AS sum_lng, CAST(sum(lat) AS BIGINT) AS sum_lat
          |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin,
