@@ -701,7 +701,7 @@ object FlatGeobuf {
     import java.io.{BufferedOutputStream, OutputStream, RandomAccessFile}
     import java.nio.file.Files
 
-    private val spoolPath = Files.createTempFile("graft-fgb-spool", ".feat")
+    private val spoolPath = Files.createTempFile(ShardSpool.spillDir(), "graft-fgb-spool", ".feat")
     private val spoolOut: OutputStream =
       new BufferedOutputStream(Files.newOutputStream(spoolPath), 1 << 16)
     private val minLng = new scala.collection.mutable.ArrayBuilder.ofInt
@@ -786,7 +786,7 @@ object FlatGeobuf {
         t
       }
 
-      val blockPath = Files.createTempFile("graft-fgb-spool", ".blocks")
+      val blockPath = Files.createTempFile(ShardSpool.spillDir(), "graft-fgb-spool", ".blocks")
       try {
         val leaves = Vector.newBuilder[(Envelope, Long)]
         var featOff = 0L

@@ -39,13 +39,33 @@ import java.nio.file.{Files, Path}
   * Reference: `writer/mod.rs:68-140` (format), `writer/mod.rs:77-82`
   * (Hilbert-desc layout) — reproduced streaming, not buffered.
   */
+object ShardSpool {
+  /** Executor-local spill directory: the first `spark.local.dir` disk
+    * when running inside an executor/driver (the disks provisioned for
+    * shuffle spill — on a real cluster /tmp may be a tiny root volume),
+    * else `java.io.tmpdir`. Respects the env overrides Spark itself
+    * honors for local dirs via the resolved conf.
+    */
+  private[sources] def spillDir(): Path = {
+    val conf = Option(org.apache.spark.SparkEnv.get).map(_.conf)
+    val dir = conf.flatMap(_.getOption("spark.local.dir"))
+      .map(_.split(',').head.trim)
+      .filter(_.nonEmpty)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val p = java.nio.file.Paths.get(dir)
+    Files.createDirectories(p)
+    p
+  }
+}
+
 final class ShardSpool(compressed: Boolean,
                        pageSizeGoal: Long = GeomedeaFile.DefaultPageSizeGoal) {
 
   final case class SpoolWritten(extent: Envelope, pageCount: Long,
                                 featureCount: Long, totalBytes: Long)
 
-  private val spoolPath: Path = Files.createTempFile("graft-spool", ".feat")
+  private val spoolPath: Path =
+    Files.createTempFile(ShardSpool.spillDir(), "graft-spool", ".feat")
   private var spoolOut: OutputStream =
     new BufferedOutputStream(Files.newOutputStream(spoolPath), 1 << 16)
   private val minLng = new scala.collection.mutable.ArrayBuilder.ofInt
@@ -110,7 +130,7 @@ final class ShardSpool(compressed: Boolean,
       if (c != 0) c else Integer.compare(a.intValue, b.intValue)
     })
 
-    val pagePath = Files.createTempFile("graft-spool", ".pages")
+    val pagePath = Files.createTempFile(ShardSpool.spillDir(), "graft-spool", ".pages")
     try {
       val raf = new RandomAccessFile(spoolPath.toFile, "r")
       val asm =
