@@ -672,7 +672,12 @@ object FlatGeobuf {
     hb.finishSizePrefixed(hb.endTable())
   }
 
-  final case class FgbSpoolWritten(extent: Envelope, featureCount: Long, totalBytes: Long)
+  /** `splits`: absolute feature-block boundaries sampled every
+    * ~`splitGranularity` bytes (first = feature-section start) for the
+    * manifest, so the full-scan planner can split one oversized shard.
+    */
+  final case class FgbSpoolWritten(extent: Envelope, featureCount: Long, totalBytes: Long,
+                                   splits: Vector[Long] = Vector.empty)
 
   /** Spill-backed FGB shard writer — the [[graft.sources.ShardSpool]]
     * analog for the FlatGeobuf container: O(index + one block) heap.
@@ -694,7 +699,8 @@ object FlatGeobuf {
     * Byte-identical to [[writeFull]] for the same features in the same
     * arrival order (asserted in PropertiesSpec).
     */
-  final class FgbSpool(name: String = "graft", nodeSize: Int = DefaultNodeSize) {
+  final class FgbSpool(name: String = "graft", nodeSize: Int = DefaultNodeSize,
+                       splitGranularity: Long = ShardSpool.DefaultSplitGranularity) {
     require(nodeSize >= 2 && nodeSize <= 0xFFFF,
       s"nodeSize must be in [2, 65535]; got $nodeSize")
 
@@ -802,11 +808,27 @@ object FlatGeobuf {
             featOff += block.length
           } finally blocksOut.close()
         } finally raf.close()
+        val leafVec = leaves.result()
         val tree =
           if (n == 0) Array.emptyByteArray
-          else buildTree(leaves.result(), nodeSize)
+          else buildTree(leafVec, nodeSize)
         val hdr = headerBlock(name, extent, n.toLong, nodeSize, names, types, uniformType)
         val total = Magic.length.toLong + hdr.length + tree.length + featOff
+        val dataStart = Magic.length.toLong + hdr.length + tree.length
+        // sample block boundaries every ~splitGranularity encoded bytes
+        // (leafVec walks the layout order: block offsets ascend)
+        val splitsB = Vector.newBuilder[Long]
+        splitsB += dataStart
+        var lastRel = 0L
+        var sampled = 1
+        leafVec.foreach { case (_, blockRel) =>
+          if (blockRel > 0 && blockRel - lastRel >= splitGranularity) {
+            splitsB += dataStart + blockRel
+            lastRel = blockRel
+            sampled += 1
+          }
+        }
+        val splits = if (sampled >= 2) splitsB.result() else Vector.empty[Long]
         val out = open(total)
         try {
           out.write(Magic)
@@ -814,7 +836,7 @@ object FlatGeobuf {
           out.write(tree)
           Files.copy(blockPath, out)
         } finally out.close()
-        FgbSpoolWritten(extent, n.toLong, total)
+        FgbSpoolWritten(extent, n.toLong, total, splits)
       } finally {
         Files.deleteIfExists(blockPath)
         Files.deleteIfExists(spoolPath)
@@ -1061,6 +1083,40 @@ object FlatGeobuf {
         val size = new FbBuf(sz).i32(0)
         require(size > 0 && pos + 4 + size.toLong <= fileLen,
           s"corrupt feature size $size at offset $pos")
+        val block = new Array[Byte](4 + size)
+        System.arraycopy(sz, 0, block, 0, 4)
+        in.readFully(block, 4, size)
+        onBlock(4L + size)
+        pos += 4L + size
+        (off, readFeature(new FbBuf(block), 0, h))
+      }
+    }
+  }
+
+  /** Streaming scan of ONE block-aligned byte range `[start, end)` of
+    * the feature section — the split form of [[selectAllStream]] (the
+    * Parquet row-group-split analog), so one oversized `.fgb` shard can
+    * decode as several Spark input partitions. `in` must already be
+    * positioned at `start` (a writer-sampled feature-block boundary);
+    * `h` is the file's header (the caller reads it via positioned range
+    * reads). Emits the same (offset, feature) pairs as the unsplit scan.
+    * A misaligned boundary fails LOUDLY on the size-prefix framing.
+    */
+  def selectRangeStream(in: java.io.DataInput, h: FgbHeader,
+                        start: Long, end: Long,
+                        onBlock: Long => Unit = _ => ()): Iterator[(Long, Feature)] = {
+    require(start >= h.featuresOffset && start < end,
+      s"bad split range [$start,$end) for feature section at ${h.featuresOffset}")
+    new Iterator[(Long, Feature)] {
+      private var pos = start
+      override def hasNext: Boolean = pos < end
+      override def next(): (Long, Feature) = {
+        val off = pos - h.featuresOffset
+        val sz = new Array[Byte](4)
+        in.readFully(sz)
+        val size = new FbBuf(sz).i32(0)
+        require(size > 0 && pos + 4 + size.toLong <= end,
+          s"corrupt or misaligned feature size $size at offset $pos (split end $end)")
         val block = new Array[Byte](4 + size)
         System.arraycopy(sz, 0, block, 0, 4)
         in.readFully(block, 4, size)

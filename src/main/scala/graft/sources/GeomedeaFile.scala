@@ -432,6 +432,51 @@ object GeomedeaFile {
     }
   }
 
+  /** Streaming scan of ONE page-aligned byte range `[start, end)` of a
+    * container whose data section begins at `dataStart` — the split
+    * form of [[selectAllStream]], so one oversized shard can decode as
+    * several Spark input partitions (the Parquet row-group-split
+    * analog; the reference is single-node and has no counterpart).
+    * `in` must already be positioned at `start` (an absolute offset the
+    * writer sampled as a page boundary). Emits the same rows with the
+    * same stable FeatureLocations as the unsplit scan. Misaligned
+    * boundaries fail LOUDLY: page framing is validated per page and the
+    * walk must land exactly on `end`.
+    */
+  def selectPageRange(in: java.io.DataInput, compressed: Boolean,
+                      start: Long, end: Long, dataStart: Long,
+                      onPage: Long => Unit = _ => ()): Iterator[((Long, Int), Feature)] = {
+    require(start >= dataStart && start < end,
+      s"bad split range [$start,$end) for data section at $dataStart")
+    new Iterator[((Long, Int), Feature)] {
+      private var absOff = start
+      private var inPage: Iterator[((Long, Int), Feature)] = Iterator.empty
+      private def advance(): Unit = while (!inPage.hasNext && absOff < end) {
+        val ph = new Array[Byte](FeatureCodec.PageHeaderBytes)
+        in.readFully(ph)
+        val (encLen, decLen, count) = FeatureCodec.decodePageHeader(new R(ph))
+        require(decLen <= MaxDecodedPageBytes, s"corrupt page: decoded size $decLen")
+        require(absOff + FeatureCodec.PageHeaderBytes + encLen <= end,
+          s"page at $absOff overruns split end $end — misaligned split boundary")
+        val enc = new Array[Byte](encLen.toInt)
+        in.readFully(enc)
+        val body =
+          if (compressed) com.github.luben.zstd.Zstd.decompress(enc, decLen.toInt) else enc
+        val pageRelStart = absOff - dataStart
+        val pr = new R(body)
+        inPage = Iterator.fill(count.toInt) {
+          val featOff = pr.pos
+          val len = pr.u64().toInt
+          ((pageRelStart, featOff), FeatureCodec.decodeFeature(pr.take(len)))
+        }
+        onPage(FeatureCodec.PageHeaderBytes.toLong + encLen)
+        absOff += FeatureCodec.PageHeaderBytes.toLong + encLen
+      }
+      override def hasNext: Boolean = { advance(); inPage.hasNext }
+      override def next(): ((Long, Int), Feature) = { advance(); inPage.next() }
+    }
+  }
+
   /** Read accounting for the indexed scan — the analog of the
     * reference's request/byte counting (`CountingReader`, and the README
     * measurement "153 requests, 81,175,859 bytes"): each fetched page is

@@ -40,6 +40,13 @@ import java.nio.file.{Files, Path}
   * (Hilbert-desc layout) — reproduced streaming, not buffered.
   */
 object ShardSpool {
+  /** Default intra-shard split granularity (encoded bytes between
+    * sampled page boundaries): 64 MiB — small enough that a 256 MB
+    * shard full-scans 4-way, large enough that split bookkeeping stays
+    * a handful of longs per shard in the manifest.
+    */
+  val DefaultSplitGranularity: Long = 64L << 20
+
   /** Executor-local spill directory: the first `spark.local.dir` disk
     * when running inside an executor/driver (the disks provisioned for
     * shuffle spill — on a real cluster /tmp may be a tiny root volume),
@@ -59,10 +66,18 @@ object ShardSpool {
 }
 
 final class ShardSpool(compressed: Boolean,
-                       pageSizeGoal: Long = GeomedeaFile.DefaultPageSizeGoal) {
+                       pageSizeGoal: Long = GeomedeaFile.DefaultPageSizeGoal,
+                       splitGranularity: Long = ShardSpool.DefaultSplitGranularity) {
 
+  /** `splits`: absolute page-boundary offsets sampled every
+    * ~`splitGranularity` encoded bytes (first = data-section start),
+    * published to the lake manifest so the full-scan planner can read
+    * one oversized shard as several input partitions. Empty when the
+    * shard has fewer than two boundaries at the granularity.
+    */
   final case class SpoolWritten(extent: Envelope, pageCount: Long,
-                                featureCount: Long, totalBytes: Long)
+                                featureCount: Long, totalBytes: Long,
+                                splits: Vector[Long] = Vector.empty)
 
   private val spoolPath: Path =
     Files.createTempFile(ShardSpool.spillDir(), "graft-spool", ".feat")
@@ -147,13 +162,28 @@ final class ShardSpool(compressed: Boolean,
         } finally raf.close()
       val tree = PackedRTree.build(asm.leaves)
       val total = FeatureCodec.HeaderBytes.toLong + tree.length + asm.pageBytes
+      val dataStart = FeatureCodec.HeaderBytes.toLong + tree.length
+      // sample page boundaries every ~splitGranularity encoded bytes;
+      // leaves walk the layout order, so page starts arrive ascending
+      val splitsB = Vector.newBuilder[Long]
+      splitsB += dataStart
+      var lastRel = 0L
+      var sampled = 1
+      asm.leaves.foreach { case (_, pageRel, featOff) =>
+        if (featOff == 0 && pageRel > 0 && pageRel - lastRel >= splitGranularity) {
+          splitsB += dataStart + pageRel
+          lastRel = pageRel
+          sampled += 1
+        }
+      }
+      val splits = if (sampled >= 2) splitsB.result() else Vector.empty[Long]
       val out = open(total)
       try {
         out.write(FeatureCodec.encodeHeader(compressed, asm.pageCount, n.toLong))
         out.write(tree)
         Files.copy(pagePath, out)
       } finally out.close()
-      SpoolWritten(extent, asm.pageCount, n.toLong, total)
+      SpoolWritten(extent, asm.pageCount, n.toLong, total, splits)
     } finally {
       Files.deleteIfExists(pagePath)
       Files.deleteIfExists(spoolPath)

@@ -76,7 +76,7 @@ object FgbTable {
     * the geomedea planner; with a bbox, files whose header envelope
     * misses the rect are dropped.
     */
-  def scanFiles(path: String, bbox: Option[Envelope]): Seq[(String, Long, Long)] = {
+  def scanFiles(path: String, bbox: Option[Envelope]): Seq[GeomedeaTable.ScanFile] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -95,8 +95,10 @@ object FgbTable {
             // features_count=0-means-unknown rule — never prune on it)
             case Some(q) => e.extent.forall(_.intersects(q))
           }
-          if (keep) Some((f.getPath.toString, f.getLen, e.count)) else None
-        }.sortBy(_._1)
+          if (keep)
+            Some(GeomedeaTable.ScanFile(f.getPath.toString, f.getLen, e.count, e.validSplits))
+          else None
+        }.sortBy(_.path)
       case _ => () // absent or stale: header-read fallback below
     }
     PlannerPool.mapFiles(files) { s =>
@@ -120,8 +122,9 @@ object FgbTable {
               mnx > q.maxLng / 1e7 || mny > q.maxLat / 1e7)
           }
       }
-      if (keep) Some((s.getPath.toString, s.getLen, h.featuresCount)) else None
-    }.flatten.sortBy(_._1)
+      if (keep) Some(GeomedeaTable.ScanFile(s.getPath.toString, s.getLen, h.featuresCount))
+      else None
+    }.flatten.sortBy(_.path)
   }
 }
 
@@ -190,17 +193,17 @@ class FgbScanBuilder(path: String,
     * writers); otherwise Spark counts normally. The header reads this
     * decision costs are the same ones planning performs anyway.
     */
-  private lazy val allFiles: Seq[(String, Long, Long)] = FgbTable.scanFiles(path, None)
+  private lazy val allFiles: Seq[GeomedeaTable.ScanFile] = FgbTable.scanFiles(path, None)
 
   // the explicit bbox option restricts the scan like a filter would, so
   // a header-only count (whole-table) must not be offered with it set
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    isCountStarOnly(agg) && optBbox.isEmpty && allFiles.forall(_._3 > 0)
+    isCountStarOnly(agg) && optBbox.isEmpty && allFiles.forall(_.count > 0)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    if (isCountStarOnly(agg) && optBbox.isEmpty && allFiles.forall(_._3 > 0)) {
+    if (isCountStarOnly(agg) && optBbox.isEmpty && allFiles.forall(_.count > 0)) {
       countPushed = true; true
     } else false
 
@@ -209,7 +212,7 @@ class FgbScanBuilder(path: String,
     if (countPushed) {
       require(pushed.isEmpty && bbox.isEmpty,
         "COUNT(*) pushdown reached with filters absorbed — header-only count would be wrong")
-      new FgbCountScan(path, allFiles.map(_._3).sum)
+      new FgbCountScan(path, allFiles.map(_.count).sum)
     } else new FgbScan(path, bbox, pushed, required, limit)
   }
 }
@@ -243,7 +246,7 @@ class FgbScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new GmBytesMetric, new GmRowsMetric)
 
-  private lazy val keptFiles: Seq[(String, Long, Long)] = FgbTable.scanFiles(path, bbox)
+  private lazy val keptFiles: Seq[GeomedeaTable.ScanFile] = FgbTable.scanFiles(path, bbox)
 
   /** With a pushed limit and no bbox, only enough files to cover it are
     * planned when every count is KNOWN; an unknown (0) count could hide
@@ -251,24 +254,37 @@ class FgbScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
     * the reader-side per-partition stop carries the bound.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = limit match {
-      case Some(n) if bbox.isEmpty && keptFiles.forall(_._3 > 0) =>
+    (bbox, limit) match {
+      case (None, Some(n)) if keptFiles.forall(_.count > 0) =>
         var cum = 0L
-        keptFiles.takeWhile { f => val need = cum < n; cum += f._3; need }
-      case _ => keptFiles
+        keptFiles.takeWhile { f => val need = cum < n; cum += f.count; need }
+          .map(f => GeomedeaPartition(f.path): InputPartition).toArray
+      case (None, None) =>
+        // full scan: split oversized shards at the manifest's
+        // writer-sampled feature-block boundaries (Parquet row-group
+        // analog) so parallelism is not capped at the shard count
+        keptFiles.flatMap { f =>
+          if (f.splits.size < 2) Seq(GeomedeaPartition(f.path))
+          else {
+            val bounds = f.splits :+ f.len
+            bounds.zip(bounds.tail).map { case (s, e) =>
+              GeomedeaPartition(f.path, s, e, f.splits.head)
+            }
+          }
+        }.map(p => p: InputPartition).toArray
+      case _ => keptFiles.map(f => GeomedeaPartition(f.path): InputPartition).toArray
     }
-    files.map(f => GeomedeaPartition(f._1): InputPartition).toArray
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(keptFiles.map(_._2).sum)
+      java.util.OptionalLong.of(keptFiles.map(_.len).sum)
     // a 0 count means UNKNOWN (spec) — summing it in would under-report
     // and invite a bad broadcast; real row counts only when every kept
     // file carries one (empty dirs are genuinely 0 rows)
     override def numRows(): java.util.OptionalLong =
-      if (keptFiles.forall(_._3 > 0) || keptFiles.isEmpty)
-        java.util.OptionalLong.of(keptFiles.map(_._3).sum)
+      if (keptFiles.forall(_.count > 0) || keptFiles.isEmpty)
+        java.util.OptionalLong.of(keptFiles.map(_.count).sum)
       else java.util.OptionalLong.empty()
   }
 
@@ -289,7 +305,8 @@ class FgbReaderFactory(bbox: Option[Envelope], required: StructType,
                        conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GeomedeaPartition].file
+    val part = partition.asInstanceOf[GeomedeaPartition]
+    val file = part.file
     new PartitionReader[InternalRow] {
       private val serializer = FgbTable.rowEncoder.createSerializer()
       private val full = FgbTable.Schema
@@ -318,6 +335,17 @@ class FgbReaderFactory(bbox: Option[Envelope], required: StructType,
             // bounded transfer: header -> needed index levels -> hit blocks
             rangedScan = FlatGeobuf.selectBboxRange(ranged, len, q)
             rangedScan
+          case _ if part.start >= 0 =>
+            // intra-shard split (manifest-sampled block boundary): the
+            // header just read is authoritative for the section start —
+            // refuse a stale/forged boundary list loudly rather than
+            // emitting shifted feature-offset ids
+            require(header.featuresOffset == part.dataStart,
+              s"$file: manifest split base ${part.dataStart} != feature section " +
+                s"at ${header.featuresOffset} — stale manifest splits; re-run a writer commit")
+            stream.seek(part.start)
+            FlatGeobuf.selectRangeStream(stream, header, part.start, part.end,
+              onBlock = bytesDecoded += _)
           case _ =>
             FlatGeobuf.selectAllStream(stream, len, onBlock = bytesDecoded += _)
         }

@@ -32,23 +32,29 @@ class FgbWriteBuilder(path: String, info: LogicalWriteInfo)
       // readers would parse R-tree bytes as feature blocks
       require(nodeSize >= 2 && nodeSize <= 0xFFFF,
         s"indexNodeSize must be in [2, 65535]; got $nodeSize")
-      new FgbBatchWrite(path, info.schema(), nodeSize, doTruncate, ShardToken.from(info))
+      val splitGranularity = info.options.getLong("splitGranularity",
+        graft.sources.ShardSpool.DefaultSplitGranularity)
+      require(splitGranularity > 0, s"splitGranularity must be positive; got $splitGranularity")
+      new FgbBatchWrite(path, info.schema(), nodeSize, splitGranularity, doTruncate,
+        ShardToken.from(info))
     }
   }
 }
 
 final case class FgbCommit(tmpName: String, finalName: String,
                            bytes: Long, count: Long,
-                           minLng: Int, minLat: Int, maxLng: Int, maxLat: Int)
+                           minLng: Int, minLat: Int, maxLng: Int, maxLat: Int,
+                           splits: Seq[Long] = Seq.empty)
     extends WriterCommitMessage
 
 class FgbBatchWrite(path: String, schema: StructType, nodeSize: Int,
+                    splitGranularity: Long,
                     truncate: Boolean, jobToken: String) extends BatchWrite {
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FgbWriterFactory(path, schema, nodeSize, conf, jobToken)
+    new FgbWriterFactory(path, schema, nodeSize, splitGranularity, conf, jobToken)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -61,7 +67,7 @@ class FgbBatchWrite(path: String, schema: StructType, nodeSize: Int,
         require(fs.rename(new Path(dir, c.tmpName), new Path(dir, c.finalName)),
           s"failed to publish ${c.tmpName} -> ${c.finalName} under $path")
         GeomedeaManifest.Entry(c.finalName, c.bytes, c.count,
-          c.minLng, c.minLat, c.maxLng, c.maxLat)
+          c.minLng, c.minLat, c.maxLng, c.maxLat, c.splits.toVector)
     }
     // extent manifest, same shape/protocol as the geomedea lake's: one
     // planning read instead of two positioned header reads per shard.
@@ -119,6 +125,7 @@ object FgbBatchWrite {
 }
 
 class FgbWriterFactory(path: String, schema: StructType, nodeSize: Int,
+                       splitGranularity: Long,
                        conf: SerializableConfiguration, jobToken: String)
     extends DataWriterFactory {
 
@@ -132,7 +139,8 @@ class FgbWriterFactory(path: String, schema: StructType, nodeSize: Int,
       // spill-backed (FlatGeobuf.FgbSpool): features spool to local temp
       // files and page out streaming, so task heap stays O(index + one
       // block) regardless of shard size
-      private val spool = new FlatGeobuf.FgbSpool(nodeSize = nodeSize)
+      private val spool =
+        new FlatGeobuf.FgbSpool(nodeSize = nodeSize, splitGranularity = splitGranularity)
       private val fin = f"part-$jobToken-$partitionId%05d-$taskId.fgb"
       // tmp suffix must NOT be .fgb: reader globs/truncate select on it
       private val tmp = s"_tmp_$fin.tmp"
@@ -158,7 +166,7 @@ class FgbWriterFactory(path: String, schema: StructType, nodeSize: Int,
         }
         FgbCommit(tmp, fin, written.totalBytes, written.featureCount,
           written.extent.minLng, written.extent.minLat,
-          written.extent.maxLng, written.extent.maxLat)
+          written.extent.maxLng, written.extent.maxLat, written.splits)
       }
 
       override def abort(): Unit = {

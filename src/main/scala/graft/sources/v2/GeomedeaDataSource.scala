@@ -92,6 +92,15 @@ object GeomedeaTable {
 
   val HeadBytes: Int = graft.codec.FeatureCodec.HeaderBytes + graft.index.PackedRTree.NodeBytes
 
+  /** One plannable file: byte length, header feature count, and (from a
+    * validated manifest only) the writer-sampled intra-file split
+    * boundaries — absolute page-aligned offsets, first = data-section
+    * start — that let a full scan read ONE oversized shard as several
+    * input partitions (the Parquet row-group-split analog).
+    */
+  final case class ScanFile(path: String, len: Long, count: Long,
+                            splits: Vector[Long] = Vector.empty)
+
   /** Surviving files with byte length and header feature count. Fast
     * path: a directory written by the v2 writer carries a
     * [[GeomedeaManifest]] — extents/counts for the whole lake in ONE
@@ -105,7 +114,7 @@ object GeomedeaTable {
     * bbox, files whose R-tree ROOT bounds (= manifest extent) miss the
     * rect are dropped. Re-sorted by path for deterministic planning.
     */
-  def scanFiles(path: String, bbox: Option[Envelope]): Seq[(String, Long, Long)] = {
+  def scanFiles(path: String, bbox: Option[Envelope]): Seq[ScanFile] = {
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -122,8 +131,9 @@ object GeomedeaTable {
             case None    => true
             case Some(q) => e.extent.exists(_.intersects(q))
           }
-          if (keep) Some((f.getPath.toString, f.getLen, e.count)) else None
-        }.sortBy(_._1)
+          if (keep) Some(ScanFile(f.getPath.toString, f.getLen, e.count, e.validSplits))
+          else None
+        }.sortBy(_.path)
       case _ => () // absent or stale: header-read fallback below
     }
     PlannerPool.mapFiles(files) { s =>
@@ -139,8 +149,8 @@ object GeomedeaTable {
         case None    => true
         case Some(q) => fileExtent(head).exists(_.intersects(q))
       }
-      if (keep) Some((s.getPath.toString, s.getLen, count)) else None
-    }.flatten.sortBy(_._1)
+      if (keep) Some(ScanFile(s.getPath.toString, s.getLen, count)) else None
+    }.flatten.sortBy(_.path)
   }
 }
 
@@ -164,7 +174,7 @@ class GeomedeaCountScan(path: String) extends Scan with Batch with SupportsRepor
   override def planInputPartitions(): Array[InputPartition] =
     Array(GeomedeaPartition("<header-count>"))
   override def createReaderFactory(): PartitionReaderFactory =
-    GeomedeaCountReaderFactory(GeomedeaTable.scanFiles(path, None).map(_._3).sum)
+    GeomedeaCountReaderFactory(GeomedeaTable.scanFiles(path, None).map(_.count).sum)
 }
 
 final case class GeomedeaCountReaderFactory(total: Long) extends PartitionReaderFactory {
@@ -297,20 +307,34 @@ class GeomedeaScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new GmPagesMetric, new GmBytesMetric, new GmRowsMetric)
 
-  private lazy val keptFiles: Seq[(String, Long, Long)] = GeomedeaTable.scanFiles(path, bbox)
+  private lazy val keptFiles: Seq[GeomedeaTable.ScanFile] = GeomedeaTable.scanFiles(path, bbox)
 
   /** With a pushed limit and no bbox (no residual filtering possible —
     * filters block limit pushdown upstream), only enough files to cover
     * the limit are planned: header featureCounts accumulate until >= n.
+    * A plain full scan (no bbox, no limit) additionally SPLITS each
+    * shard at the manifest's writer-sampled page boundaries, so one
+    * oversized shard decodes as several tasks instead of one serial
+    * read — parallelism is no longer capped at the shard count.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = limit match {
-      case Some(n) if bbox.isEmpty =>
+    (bbox, limit) match {
+      case (None, Some(n)) =>
         var cum = 0L
-        keptFiles.takeWhile { f => val need = cum < n; cum += f._3; need }
-      case _ => keptFiles
+        keptFiles.takeWhile { f => val need = cum < n; cum += f.count; need }
+          .map(f => GeomedeaPartition(f.path): InputPartition).toArray
+      case (None, None) =>
+        keptFiles.flatMap { f =>
+          if (f.splits.size < 2) Seq(GeomedeaPartition(f.path))
+          else {
+            val bounds = f.splits :+ f.len
+            bounds.zip(bounds.tail).map { case (s, e) =>
+              GeomedeaPartition(f.path, s, e, f.splits.head)
+            }
+          }
+        }.map(p => p: InputPartition).toArray
+      case _ => keptFiles.map(f => GeomedeaPartition(f.path): InputPartition).toArray
     }
-    files.map(f => GeomedeaPartition(f._1): InputPartition).toArray
   }
 
   /** True statistics from the headers — Catalyst's join-side sizing (e.g.
@@ -321,9 +345,9 @@ class GeomedeaScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
     */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(keptFiles.map(_._2).sum)
+      java.util.OptionalLong.of(keptFiles.map(_.len).sum)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(keptFiles.map(_._3).sum)
+      java.util.OptionalLong.of(keptFiles.map(_.count).sum)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -361,14 +385,21 @@ class GmRowsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric
 final case class GmTaskMetric(name: String, value: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
-final case class GeomedeaPartition(file: String) extends InputPartition
+/** `start >= 0` selects a page-aligned byte range `[start, end)` of the
+  * file (an intra-shard split from the manifest's sampled boundaries;
+  * `dataStart` anchors the stable page-offset location ids); the
+  * defaults mean "the whole file".
+  */
+final case class GeomedeaPartition(file: String, start: Long = -1L, end: Long = -1L,
+                                   dataStart: Long = -1L) extends InputPartition
 
 class GeomedeaReaderFactory(bbox: Option[Envelope], required: StructType,
                             limit: Option[Int], conf: SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GeomedeaPartition].file
+    val part = partition.asInstanceOf[GeomedeaPartition]
+    val file = part.file
     new PartitionReader[InternalRow] {
       private val serializer = GeomedeaTable.rowEncoder.createSerializer()
       private val full = GeomedeaTable.Schema
@@ -415,6 +446,27 @@ class GeomedeaReaderFactory(bbox: Option[Envelope], required: StructType,
                 bytesDecoded = read.bytesDecoded
                 read.features.iterator
               } finally in.close()
+            case (None, None) if part.start >= 0 =>
+              // intra-shard split (manifest-sampled page boundary):
+              // positioned header read for the compressed flag — and to
+              // RE-DERIVE the data-section start from the authoritative
+              // header, refusing a stale/forged boundary list loudly
+              // rather than emitting shifted location ids
+              stream = fs.open(p)
+              val head = new Array[Byte](graft.codec.FeatureCodec.HeaderBytes)
+              stream.readFully(0, head)
+              val (comp, _, fc) =
+                graft.codec.FeatureCodec.decodeHeader(new graft.codec.FeatureCodec.R(head))
+              val realDataStart = graft.codec.FeatureCodec.HeaderBytes.toLong +
+                graft.index.PackedRTree.nodeCount(fc) * graft.index.PackedRTree.NodeBytes
+              require(realDataStart == part.dataStart,
+                s"$file: manifest split base ${part.dataStart} != data section " +
+                  s"at $realDataStart — stale manifest splits; re-run a writer commit")
+              stream.seek(part.start)
+              GeomedeaFile.selectPageRange(stream, comp, part.start, part.end,
+                part.dataStart, onPage = bytes => {
+                  pagesDecoded += 1; bytesDecoded += bytes
+                })
             case (None, None) =>
               // page-by-page streaming full scan: O(page) task memory
               stream = fs.open(p)

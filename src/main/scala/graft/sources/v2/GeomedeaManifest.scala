@@ -20,7 +20,16 @@ import java.nio.charset.StandardCharsets
   * files it didn't write, read from their 45-byte heads), published via
   * write-tmp + delete + rename (Hadoop rename does not overwrite).
   *
-  * Line format (TSV): `name len count minLng minLat maxLng maxLat`.
+  * Line format (TSV): `name len count minLng minLat maxLng maxLat
+  * [splits]` — the 8th column is optional (older manifests have 7) and
+  * carries comma-separated absolute byte offsets where an intra-file
+  * read may begin (the first is the data-section start), sampled by the
+  * writers every ~`splitGranularity` bytes so the full-scan planner can
+  * split one oversized shard into several input partitions the way
+  * Parquet splits row groups. Advisory like the extents: the planner
+  * only uses splits off a length-validated entry, sanity-checks the
+  * monotone in-range shape, and a reader fed a misaligned offset fails
+  * LOUDLY on the page framing — never silently wrong rows.
   * Empty shards (count 0) store their inverted empty envelope and map
   * to extent None, matching [[GeomedeaTable.fileExtent]] semantics.
   */
@@ -29,14 +38,29 @@ object GeomedeaManifest {
   val FileName = "_manifest.tsv"
 
   final case class Entry(name: String, len: Long, count: Long,
-                         minLng: Int, minLat: Int, maxLng: Int, maxLat: Int) {
+                         minLng: Int, minLat: Int, maxLng: Int, maxLat: Int,
+                         splits: Vector[Long] = Vector.empty) {
     def extent: Option[Envelope] =
       if (count == 0) None else Some(Envelope(minLng, minLat, maxLng, maxLat))
-    def line: String = s"$name\t$len\t$count\t$minLng\t$minLat\t$maxLng\t$maxLat"
+    def line: String = {
+      val base = s"$name\t$len\t$count\t$minLng\t$minLat\t$maxLng\t$maxLat"
+      if (splits.isEmpty) base else base + "\t" + splits.mkString(",")
+    }
+    /** Splits iff they have the only shape a valid boundary list can
+      * have (strictly increasing, inside the file, ending before len);
+      * anything else reads as empty — advisory data degrades to one
+      * partition per file, never to a planning failure.
+      */
+    def validSplits: Vector[Long] =
+      if (splits.nonEmpty && splits.head > 0 && splits.last < len &&
+          splits.zip(splits.tail).forall { case (a, b) => a < b }) splits
+      else Vector.empty
   }
 
-  def entryOf(name: String, len: Long, count: Long, extent: Envelope): Entry =
-    Entry(name, len, count, extent.minLng, extent.minLat, extent.maxLng, extent.maxLat)
+  def entryOf(name: String, len: Long, count: Long, extent: Envelope,
+              splits: Vector[Long] = Vector.empty): Entry =
+    Entry(name, len, count, extent.minLng, extent.minLat, extent.maxLng, extent.maxLat,
+      splits)
 
   /** The manifest iff it covers EXACTLY `files` (every listed shard by
     * name with a matching byte length, no extras) — the validation both
@@ -85,8 +109,13 @@ object GeomedeaManifest {
       val text = new String(buf, StandardCharsets.UTF_8)
       val entries = text.split('\n').iterator.filter(_.nonEmpty).map { line =>
         val p = line.split('\t')
-        require(p.length == 7, s"bad manifest line: $line")
-        Entry(p(0), p(1).toLong, p(2).toLong, p(3).toInt, p(4).toInt, p(5).toInt, p(6).toInt)
+        require(p.length == 7 || p.length == 8, s"bad manifest line: $line")
+        val splits =
+          if (p.length == 8 && p(7).nonEmpty)
+            p(7).split(',').iterator.map(_.toLong).toVector
+          else Vector.empty[Long]
+        Entry(p(0), p(1).toLong, p(2).toLong, p(3).toInt, p(4).toInt, p(5).toInt, p(6).toInt,
+          splits)
       }.toSeq
       Some(entries.map(e => e.name -> e).toMap)
     } catch { case scala.util.control.NonFatal(_) => None }

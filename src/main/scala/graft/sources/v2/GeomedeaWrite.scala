@@ -44,25 +44,32 @@ class GeomedeaWriteBuilder(path: String, info: LogicalWriteInfo)
       // (writer/mod.rs:24-27); default 64 KiB (lib.rs:47)
       val pageSizeGoal = info.options.getLong("pageSizeGoal", GeomedeaFile.DefaultPageSizeGoal)
       require(pageSizeGoal > 0, s"pageSizeGoal must be positive; got $pageSizeGoal")
-      new GeomedeaBatchWrite(path, info.schema(), compressed, pageSizeGoal, doTruncate,
-        ShardToken.from(info))
+      // split sampling granularity for the manifest's intra-shard
+      // boundaries (Parquet row-group-split analog on the read side)
+      val splitGranularity = info.options.getLong("splitGranularity",
+        graft.sources.ShardSpool.DefaultSplitGranularity)
+      require(splitGranularity > 0, s"splitGranularity must be positive; got $splitGranularity")
+      new GeomedeaBatchWrite(path, info.schema(), compressed, pageSizeGoal, splitGranularity,
+        doTruncate, ShardToken.from(info))
     }
   }
 }
 
 final case class GeomedeaCommit(tmpName: String, finalName: String,
                                 bytes: Long, count: Long,
-                                minLng: Int, minLat: Int, maxLng: Int, maxLat: Int)
+                                minLng: Int, minLat: Int, maxLng: Int, maxLat: Int,
+                                splits: Seq[Long] = Seq.empty)
     extends WriterCommitMessage
 
 class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
-                         pageSizeGoal: Long, truncate: Boolean,
+                         pageSizeGoal: Long, splitGranularity: Long, truncate: Boolean,
                          jobToken: String) extends BatchWrite {
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GeomedeaWriterFactory(path, schema, compressed, pageSizeGoal, conf, jobToken)
+    new GeomedeaWriterFactory(path, schema, compressed, pageSizeGoal, splitGranularity,
+      conf, jobToken)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -75,7 +82,7 @@ class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
         val ok = fs.rename(new Path(dir, c.tmpName), new Path(dir, c.finalName))
         require(ok, s"failed to publish ${c.tmpName} -> ${c.finalName} under $path")
         GeomedeaManifest.Entry(c.finalName, c.bytes, c.count,
-          c.minLng, c.minLat, c.maxLng, c.maxLat)
+          c.minLng, c.minLat, c.maxLng, c.maxLat, c.splits.toVector)
     }
     // refresh the extent manifest so planning reads ONE file, not one
     // header per shard. Self-healing for pre-existing shards this job
@@ -107,7 +114,7 @@ class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
 }
 
 class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolean,
-                            pageSizeGoal: Long,
+                            pageSizeGoal: Long, splitGranularity: Long,
                             conf: SerializableConfiguration, jobToken: String)
     extends DataWriterFactory {
 
@@ -128,7 +135,8 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
       // spill-backed: features are bincode-encoded on arrival and page
       // assembly streams from local temp files, so task heap stays
       // O(index + one page) regardless of shard size (ShardSpool docs)
-      private val spool = new graft.sources.ShardSpool(compressed, pageSizeGoal)
+      private val spool =
+        new graft.sources.ShardSpool(compressed, pageSizeGoal, splitGranularity)
       private val fin = f"part-$jobToken-$partitionId%05d-$taskId.geomedea"
       // tmp suffix must NOT be .geomedea: truncate and reader globs
       // select on that suffix and must never see in-flight shards
@@ -155,7 +163,7 @@ class GeomedeaWriterFactory(path: String, schema: StructType, compressed: Boolea
         }
         GeomedeaCommit(tmp, fin, written.totalBytes, written.featureCount,
           written.extent.minLng, written.extent.minLat,
-          written.extent.maxLng, written.extent.maxLat)
+          written.extent.maxLng, written.extent.maxLat, written.splits)
       }
 
       /** Task-level abort: remove this task's own tmp shard (a commit
