@@ -137,7 +137,7 @@ object SparkEntry {
     }),
 
     // COUNT(*) through the DataSourceV2's aggregate pushdown: the count
-    // comes from the shard headers alone (GeomedeaCountScan — asserted
+    // comes from the shard headers alone (GeomedeaStatsScan — asserted
     // in the spec); shards written by the distributed v2 writer
     "q19_dsv2_count" -> ((s, dir) => {
       val out = writeDsv2Shards(s, dir, "graft_dsv2c", _.repartition(4))

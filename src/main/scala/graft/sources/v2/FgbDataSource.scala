@@ -231,7 +231,7 @@ class FgbCountScan(path: String, total: Long) extends Scan with Batch with Suppo
   override def planInputPartitions(): Array[InputPartition] =
     Array(GeomedeaPartition("<header-count>"))
   override def createReaderFactory(): PartitionReaderFactory =
-    GeomedeaCountReaderFactory(total)
+    GeomedeaStatsReaderFactory(Array[Any](total))
 }
 
 class FgbScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],

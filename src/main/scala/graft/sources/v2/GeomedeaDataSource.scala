@@ -99,7 +99,8 @@ object GeomedeaTable {
     * input partitions (the Parquet row-group-split analog).
     */
   final case class ScanFile(path: String, len: Long, count: Long,
-                            splits: Vector[Long] = Vector.empty)
+                            splits: Vector[Long] = Vector.empty,
+                            extent: Option[Envelope] = None)
 
   /** Surviving files with byte length and header feature count. Fast
     * path: a directory written by the v2 writer carries a
@@ -131,7 +132,7 @@ object GeomedeaTable {
             case None    => true
             case Some(q) => e.extent.exists(_.intersects(q))
           }
-          if (keep) Some(ScanFile(f.getPath.toString, f.getLen, e.count, e.validSplits))
+          if (keep) Some(ScanFile(f.getPath.toString, f.getLen, e.count, e.validSplits, e.extent))
           else None
         }.sortBy(_.path)
       case _ => () // absent or stale: header-read fallback below
@@ -149,40 +150,108 @@ object GeomedeaTable {
         case None    => true
         case Some(q) => fileExtent(head).exists(_.intersects(q))
       }
-      if (keep) Some(ScanFile(s.getPath.toString, s.getLen, count)) else None
+      if (keep) Some(ScanFile(s.getPath.toString, s.getLen, count, Vector.empty,
+        fileExtent(head))) else None
     }.flatten.sortBy(_.path)
   }
 }
 
-/** Complete-pushdown COUNT(*): one partition, one row, computed from the
-  * same per-file header reads planning does — no page is ever
-  * decompressed, no feature decoded. The header featureCount is a format
-  * invariant the writer maintains (`writer/mod.rs` finish()).
+/** Which per-file format invariant answers a pushed aggregate without
+  * touching a page: COUNT(*) = sum of header featureCounts
+  * (`writer/mod.rs` finish()); MIN(min_lng)/MIN(min_lat)/MAX(max_lng)/
+  * MAX(max_lat) = the fold of per-shard R-tree ROOT bounds, which the
+  * writer maintains as the EXACT union of the feature envelopes — so
+  * the table-wide extent (the reference's `info` summary / our q01) is
+  * a header-only read. The misaligned pairs (e.g. MIN(max_lng)) are not
+  * derivable from bounds and are never claimed. The FGB source offers
+  * COUNT(*) only: its header envelope is degree doubles, outward-rounded
+  * against the scaled-int columns, and spec-legal foreign writers may
+  * store loose bounds — a pushed min/max there could be wrong by a unit.
   */
-class GeomedeaCountScan(path: String) extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("count",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+sealed trait HeaderStat
+object HeaderStat {
+  case object CountRows extends HeaderStat
+  case object MinLng extends HeaderStat
+  case object MinLat extends HeaderStat
+  case object MaxLng extends HeaderStat
+  case object MaxLat extends HeaderStat
+
+  /** The stat list iff EVERY aggregate (no grouping) is header-answerable;
+    * None otherwise — partial pushdown is never claimed.
+    */
+  def parse(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+  : Option[Seq[HeaderStat]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def field(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    if (agg.groupByExpressions().nonEmpty) return None
+    val stats = agg.aggregateExpressions().map {
+      case _: CountStar => Some(CountRows)
+      case m: Min => field(m.column()) match {
+        case Some("min_lng") => Some(MinLng)
+        case Some("min_lat") => Some(MinLat)
+        case _               => None
+      }
+      case m: Max => field(m.column()) match {
+        case Some("max_lng") => Some(MaxLng)
+        case Some("max_lat") => Some(MaxLat)
+        case _               => None
+      }
+      case _ => None
+    }
+    if (stats.forall(_.isDefined)) Some(stats.map(_.get).toSeq) else None
+  }
+}
+
+/** Complete-pushdown header aggregates: one partition, one row, computed
+  * from the same per-file header reads (or the one manifest read)
+  * planning does — no page is ever decompressed, no feature decoded.
+  */
+class GeomedeaStatsScan(path: String, stats: Seq[HeaderStat])
+    extends Scan with Batch with SupportsReportStatistics {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+  override def readSchema(): StructType = StructType(stats.map {
+    case HeaderStat.CountRows => StructField("count", LongType, nullable = false)
+    // min/max over zero rows is NULL (an empty lake has no extent)
+    case s => StructField(s.toString, IntegerType, nullable = true)
+  })
   override def toBatch: Batch = this
-  override def description(): String = s"GeomedeaCountScan path=$path (header-only count)"
-  // statically known: one 8-byte row — without this, a join against the
-  // pushed count would see default-huge stats and decline to broadcast
+  override def description(): String =
+    s"GeomedeaStatsScan path=$path (header-only ${stats.mkString(",")})"
+  // statically known: one short row — without this, a join against the
+  // pushed aggregate would see default-huge stats and decline to broadcast
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(16L)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(1L)
   }
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GeomedeaPartition("<header-count>"))
-  override def createReaderFactory(): PartitionReaderFactory =
-    GeomedeaCountReaderFactory(GeomedeaTable.scanFiles(path, None).map(_.count).sum)
+    Array(GeomedeaPartition("<header-stats>"))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val files = GeomedeaTable.scanFiles(path, None)
+    // count-0 shards have no root node and map to extent None — they
+    // contribute to COUNT (nothing) but must not poison the extent fold
+    val extent = files.flatMap(_.extent).reduceOption(_ union _)
+    val values: Array[Any] = stats.map {
+      case HeaderStat.CountRows => files.map(_.count).sum: Any
+      case HeaderStat.MinLng    => extent.map(e => Int.box(e.minLng)).orNull: Any
+      case HeaderStat.MinLat    => extent.map(e => Int.box(e.minLat)).orNull: Any
+      case HeaderStat.MaxLng    => extent.map(e => Int.box(e.maxLng)).orNull: Any
+      case HeaderStat.MaxLat    => extent.map(e => Int.box(e.maxLat)).orNull: Any
+    }.toArray
+    GeomedeaStatsReaderFactory(values)
+  }
 }
 
-final case class GeomedeaCountReaderFactory(total: Long) extends PartitionReaderFactory {
+final case class GeomedeaStatsReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](total))
+      override def get(): InternalRow = new GenericInternalRow(values)
       override def close(): Unit = ()
     }
 }
@@ -237,29 +306,28 @@ class GeomedeaScanBuilder(path: String,
     */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
-  private var countPushed = false
+  private var pushedStats: Option[Seq[HeaderStat]] = None
 
-  /** Filterless COUNT(*) is answered ENTIRELY from the 45-byte file
-    * headers (featureCount is a format invariant the writer maintains) —
-    * no page is ever decompressed, no feature decoded. Catalyst only
-    * offers aggregate pushdown when every filter was fully pushed; ours
-    * are always residual, so a filtered count never reaches here.
+  /** Filterless COUNT(*) / envelope MIN-MAX aggregates are answered
+    * ENTIRELY from the 45-byte file headers (featureCount and the
+    * R-tree root bounds are format invariants the writer maintains —
+    * see [[HeaderStat]]): no page is ever decompressed, no feature
+    * decoded. Catalyst only offers aggregate pushdown when every filter
+    * was fully pushed; ours are always residual, so a filtered
+    * aggregate never reaches here. The explicit bbox OPTION restricts
+    * the scan like a filter would, so header-only answers (whole-table)
+    * must not be offered with it set.
     */
-  private def isCountStarOnly(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-
-  // the explicit bbox option restricts the scan like a filter would, so
-  // a header-only count (whole-table) must not be offered with it set
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    isCountStarOnly(agg) && optBbox.isEmpty
+    optBbox.isEmpty && HeaderStat.parse(agg).isDefined
 
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (isCountStarOnly(agg) && optBbox.isEmpty) { countPushed = true; true } else false
-  }
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    if (optBbox.isEmpty) {
+      pushedStats = HeaderStat.parse(agg)
+      pushedStats.isDefined
+    } else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // superset semantics (see BboxFilterAbsorber): the absorbed rect's
@@ -278,16 +346,18 @@ class GeomedeaScanBuilder(path: String,
 
   override def build(): Scan = {
     val bbox = absorber.bbox
-    if (countPushed) {
-      // invariant, enforced loudly: the header-only count is correct ONLY
-      // for an unfiltered table. Catalyst never offers aggregate pushdown
-      // while residual filters exist, and all our filters stay residual —
-      // but if a future change ever claims a filter as fully pushed, this
-      // turns silent wrong counts into an immediate error.
-      require(pushed.isEmpty && bbox.isEmpty,
-        "COUNT(*) pushdown reached with filters absorbed — header-only count would be wrong")
-      new GeomedeaCountScan(path)
-    } else new GeomedeaScan(path, bbox, pushed, required, limit)
+    pushedStats match {
+      case Some(stats) =>
+        // invariant, enforced loudly: header-only answers are correct ONLY
+        // for an unfiltered table. Catalyst never offers aggregate pushdown
+        // while residual filters exist, and all our filters stay residual —
+        // but if a future change ever claims a filter as fully pushed, this
+        // turns silent wrong answers into an immediate error.
+        require(pushed.isEmpty && bbox.isEmpty,
+          "aggregate pushdown reached with filters absorbed — header-only answers would be wrong")
+        new GeomedeaStatsScan(path, stats)
+      case None => new GeomedeaScan(path, bbox, pushed, required, limit)
+    }
   }
 }
 

@@ -31,6 +31,36 @@ import org.apache.spark.util.SerializableConfiguration
   * ceiling). In-flight `_tmp_` names are invisible by construction
   * (suffix filter), so a batch never observes a half-written shard.
   */
+/** Shared by both streaming planners: expand full-scan (no-bbox)
+  * partitions at the manifest's split boundaries, under the SAME rules
+  * as the batch planners — boundaries are consumed only off an entry
+  * whose recorded byte length matches the live file (a compaction or
+  * out-of-protocol rewrite invalidates by length), shape-validated
+  * ([[GeomedeaManifest.Entry.validSplits]]), and the readers re-derive
+  * the data-section base from the authoritative header, so a stale list
+  * that survives both checks still fails LOUDLY instead of shifting
+  * location ids. A backlogged stream that receives one huge compacted
+  * shard decodes it as several tasks instead of one serial read.
+  */
+private[v2] object StreamSplits {
+  def expand(fs: FileSystem, dir: Path, statuses: Seq[FileStatus],
+             kept: Seq[String]): Array[InputPartition] = {
+    val lenByName = statuses.map(s => s.getPath.getName -> s.getLen).toMap
+    val manifest = GeomedeaManifest.read(fs, dir).getOrElse(Map.empty)
+      .filter { case (n, e) => lenByName.get(n).contains(e.len) }
+    kept.flatMap { x =>
+      manifest.get(new Path(x).getName) match {
+        case Some(e) if e.validSplits.size >= 2 =>
+          val bounds = e.validSplits :+ e.len
+          bounds.zip(bounds.tail).map { case (s, en) =>
+            GeomedeaPartition(x, s, en, e.validSplits.head)
+          }
+        case _ => Seq(GeomedeaPartition(x))
+      }
+    }.map(p => p: InputPartition).toArray
+  }
+}
+
 class GeomedeaMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
                                required: org.apache.spark.sql.types.StructType,
                                checkpointLocation: String)
@@ -118,7 +148,11 @@ class GeomedeaMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
         }.flatten
         (keptKnown ++ keptUnknown).sorted
     }
-    kept.map(x => GeomedeaPartition(x): InputPartition).toArray
+    // no bbox: full-scan partitions split at the manifest's sampled
+    // boundaries (bbox partitions stay whole-file — the indexed reader
+    // scans per file, and a split copy of it would re-emit hits)
+    if (bbox.isEmpty) StreamSplits.expand(fs, new Path(path), statuses, kept)
+    else kept.map(x => GeomedeaPartition(x): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -210,7 +244,11 @@ class FgbMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
         }.flatten
         (keptKnown ++ keptUnknown).sorted
     }
-    kept.map(x => GeomedeaPartition(x): InputPartition).toArray
+    // no bbox: full-scan partitions split at the manifest's sampled
+    // boundaries (bbox partitions stay whole-file — the indexed reader
+    // scans per file, and a split copy of it would re-emit hits)
+    if (bbox.isEmpty) StreamSplits.expand(fs, new Path(path), statuses, kept)
+    else kept.map(x => GeomedeaPartition(x): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

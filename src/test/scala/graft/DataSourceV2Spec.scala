@@ -203,7 +203,7 @@ class DataSourceV2Spec extends AnyFunSuite {
     val scans = agg.queryExecution.optimizedPlan.collect {
       case r: DataSourceV2ScanRelation => r.scan
     }
-    assert(scans.exists(_.isInstanceOf[graft.sources.v2.GeomedeaCountScan]),
+    assert(scans.exists(_.isInstanceOf[graft.sources.v2.GeomedeaStatsScan]),
       agg.queryExecution.optimizedPlan.toString)
     assert(agg.head().getLong(0) == 80)
     // filtered counts must NOT push (filters are residual): normal scan
@@ -211,8 +211,44 @@ class DataSourceV2Spec extends AnyFunSuite {
     val fScans = filtered.queryExecution.optimizedPlan.collect {
       case r: DataSourceV2ScanRelation => r.scan
     }
-    assert(!fScans.exists(_.isInstanceOf[graft.sources.v2.GeomedeaCountScan]))
+    assert(!fScans.exists(_.isInstanceOf[graft.sources.v2.GeomedeaStatsScan]))
     assert(filtered.head().getLong(0) == 40)
+  }
+
+  test("envelope MIN/MAX pushdown: lake extent answered from headers") {
+    val df = spark.read.format("geomedea").load(shardDir)
+    val agg = df.groupBy().agg(
+      min("min_lng").as("a"), min("min_lat").as("b"),
+      max("max_lng").as("c"), max("max_lat").as("d"), count("*").as("n"))
+    val scans = agg.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    assert(scans.exists(_.isInstanceOf[graft.sources.v2.GeomedeaStatsScan]),
+      agg.queryExecution.optimizedPlan.toString)
+    // ground truth through the NON-pushed path: a residual filter blocks
+    // aggregate pushdown (ours always stay residual), forcing decode
+    val brute = df.where(col("feature_offset") >= 0).groupBy().agg(
+      min("min_lng"), min("min_lat"), max("max_lng"), max("max_lat"), count("*"))
+    val bScans = brute.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    assert(!bScans.exists(_.isInstanceOf[graft.sources.v2.GeomedeaStatsScan]))
+    assert(agg.head().toSeq == brute.head().toSeq,
+      "header-derived extent must equal the decoded aggregation exactly")
+
+    // the misaligned pair is NOT derivable from root bounds: never pushed
+    val wrongPair = df.groupBy().agg(min("max_lng"))
+    val wScans = wrongPair.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    assert(!wScans.exists(_.isInstanceOf[graft.sources.v2.GeomedeaStatsScan]))
+    // and a mixed list with one unsupported aggregate rejects the whole push
+    val mixed = df.groupBy().agg(min("min_lng"), avg("min_lat"))
+    val mScans = mixed.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    assert(!mScans.exists(_.isInstanceOf[graft.sources.v2.GeomedeaStatsScan]))
+    assert(mixed.head().getInt(0) == brute.head().getInt(0))
   }
 
   test("scan reports true header statistics (rows/bytes) to Catalyst") {

@@ -136,6 +136,47 @@ class SplitScanSpec extends AnyFunSuite {
     }
   }
 
+  for (format <- Seq("geomedea", "flatgeobuf")) {
+    test(s"$format: the streaming read also splits oversized shards (no-bbox path)") {
+      val dir = writeLake(format, 3000)
+      val entry = manifestOf(dir).values.head
+      assert(entry.splits.size >= 2)
+
+      // planner shape: one input partition per sampled boundary
+      val schema =
+        if (format == "geomedea") GeomedeaTable.Schema else graft.sources.v2.FgbTable.Schema
+      val ck = java.nio.file.Files.createTempDirectory("gm_split_ck").toString
+      val stream =
+        if (format == "geomedea")
+          new graft.sources.v2.GeomedeaMicroBatchStream(dir, None, schema, ck)
+            .asInstanceOf[org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
+        else new graft.sources.v2.FgbMicroBatchStream(dir, None, schema, ck)
+      val parts = stream.planInputPartitions(stream.initialOffset(), stream.latestOffset())
+      assert(parts.length == entry.splits.size,
+        s"streaming planner should split: got ${parts.length} for ${entry.splits.size} boundaries")
+      // a bbox stream keeps whole-file partitions (indexed reader scans per file)
+      val bboxStream =
+        if (format == "geomedea")
+          new graft.sources.v2.GeomedeaMicroBatchStream(dir,
+            Some(graft.geom.Envelope(0, 0, Int.MaxValue, Int.MaxValue)), schema, ck)
+            .asInstanceOf[org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
+        else new graft.sources.v2.FgbMicroBatchStream(dir,
+          Some(graft.geom.Envelope(0, 0, Int.MaxValue, Int.MaxValue)), schema, ck)
+      assert(bboxStream.planInputPartitions(bboxStream.initialOffset(),
+        bboxStream.latestOffset()).length == 1)
+
+      // end-to-end exactly-once: the split stream emits exactly the batch rows
+      val q = spark.readStream.format(format).load(dir)
+        .writeStream.format("memory").queryName(s"split_stream_$format")
+        .option("checkpointLocation", ck + "/sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val streamed = stripFile(spark.table(s"split_stream_$format")).collect().map(_.toSeq).toSet
+      val batch = stripFile(spark.read.format(format).load(dir)).collect().map(_.toSeq).toSet
+      assert(streamed == batch, "split streaming read must emit exactly the batch rows once")
+    }
+  }
+
   test("geomedea: split boundaries are real page starts (ranged walk lands exactly on end)") {
     val dir = writeLake("geomedea", 3000)
     val entry = manifestOf(dir).values.head
