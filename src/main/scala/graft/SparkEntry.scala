@@ -144,6 +144,21 @@ object SparkEntry {
       s.read.format("geomedea").load(out).groupBy().count()
     }),
 
+    // lake extent through the DSv2 aggregate pushdown: filterless
+    // min/max over the envelope columns folds from the per-shard R-tree
+    // ROOT bounds alone (GeomedeaStatsScan — asserted in the spec), the
+    // header-only analog of the reference's `info` extent summary
+    "q48_dsv2_extent" -> ((s, dir) => {
+      val out = writeDsv2Shards(s, dir, "graft_dsv2e", _.repartition(4))
+      s.read.format("geomedea").load(out).groupBy()
+        .agg(min("min_lng").as("a"), min("min_lat").as("b"),
+          max("max_lng").as("c"), max("max_lat").as("d"), count("*").as("n"))
+        .select(col("a").cast("long").as("ext_min_lng"),
+          col("b").cast("long").as("ext_min_lat"),
+          col("c").cast("long").as("ext_max_lng"),
+          col("d").cast("long").as("ext_max_lat"), col("n"))
+    }),
+
     // table maintenance: a RANDOMLY-partitioned multi-shard lake (every
     // shard extent ~= global, the worst case appends converge to) is
     // re-clustered by Compact.compact (global Hilbert-desc rewrite via
@@ -607,6 +622,11 @@ object SparkEntry {
 
     "q19_dsv2_count" ->
       s"""WITH $P SELECT count(*) AS count FROM pts""",
+
+    "q48_dsv2_extent" ->
+      s"""WITH $P SELECT CAST(min(lng) AS BIGINT) AS ext_min_lng, CAST(min(lat) AS BIGINT) AS ext_min_lat,
+         |CAST(max(lng) AS BIGINT) AS ext_max_lng, CAST(max(lat) AS BIGINT) AS ext_max_lat,
+         |count(*) AS n FROM pts""".stripMargin,
 
     "q18_tile_vector_scale" ->
       s"""WITH $P SELECT ((lng + 1800000000) // 450000000) * 8 + ((lat + 900000000) // 225000000) AS tile_id,
