@@ -258,7 +258,12 @@ object Compact {
     * that failed before their record existed.
     */
   private def finishPendingSwap(fs: FileSystem, p: Path): Unit = {
-    LakeGenerations.read(fs, p).lastOption.foreach { g =>
+    // one log read serves both the outstanding-swap check and the orphan
+    // sweep's owner filter — on an object store each read is a full GET,
+    // and two reads could race a concurrent publish into an inconsistent
+    // newest-token decision within this one call
+    val log = LakeGenerations.read(fs, p)
+    log.lastOption.foreach { g =>
       val stage = new Path(p, s"$StagePrefix${g.token}")
       val outstanding = fs.exists(stage) ||
         g.condemned.exists(nm =>
@@ -283,7 +288,7 @@ object Compact {
     // orphan stages: a rewrite that died before its generation record is
     // invisible residue; compaction is single-maintainer by contract, so
     // any stage not owned by the newest record is dead
-    val lastToken = LakeGenerations.read(fs, p).lastOption.map(_.token)
+    val lastToken = log.lastOption.map(_.token)
     fs.listStatus(p).filter(s => s.isDirectory &&
       s.getPath.getName.startsWith(StagePrefix) &&
       !lastToken.contains(s.getPath.getName.stripPrefix(StagePrefix)))

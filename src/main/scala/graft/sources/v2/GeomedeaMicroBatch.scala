@@ -291,10 +291,22 @@ object GeomedeaOffset {
     if (log.isEmpty) return GeomedeaOffset(0L, live)
     val condemned = log.iterator.flatMap(_.condemned).toSet
     val liveNames = live.iterator.map(nameOf).toSet
-    val pendingRepl = log.iterator.flatMap(_.replacements.iterator)
-      .filterNot(n => liveNames(n) || condemned(n))
-      .map(n => new Path(dir, n).toString).toVector
-    GeomedeaOffset(log.last.gen,
+    // pending (recorded but not yet renamed) replacements can only belong
+    // to the NEWEST generation — swaps are serial and completeSwap drops
+    // the stage dir LAST, so while any rename is outstanding the stage
+    // dir exists. Absent the stage dir, a recorded-but-missing
+    // replacement was deleted OUTSIDE the protocol (retention); tracking
+    // it would make the lake permanently unstreamable — every first
+    // batch, even from a fresh checkpoint, would demand a name that can
+    // never reappear.
+    val last = log.last
+    val pendingRepl =
+      if (!fs.exists(new Path(dir, s"${graft.jobs.Compact.StagePrefix}${last.token}")))
+        Vector.empty
+      else last.replacements.iterator
+        .filterNot(n => liveNames(n) || condemned(n))
+        .map(n => new Path(dir, n).toString).toVector
+    GeomedeaOffset(last.gen,
       live.filterNot(f => condemned(nameOf(f))) ++ pendingRepl)
   }
 

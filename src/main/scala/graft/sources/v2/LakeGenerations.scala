@@ -30,12 +30,21 @@ import java.nio.charset.StandardCharsets
   * resets the tracked set to the compacted shard count, so checkpoint
   * offsets stay O(live shards) instead of O(every shard ever).
   *
-  * Durability: published like the manifest (tmp + delete + rename). The
-  * log is correctness-bearing ONLY for resume-across-compaction; if it
-  * is missing or unparseable, streams degrade to round 4's loud
-  * rewrite error (never to silent re-emission or loss). Records are
-  * capped at [[MaxGenerations]] — a checkpoint older than the horizon
-  * fails loudly with the missing-generation error.
+  * Durability: each publish renames a tmp file to a FRESH versioned
+  * name (`_generations.v<gen>.tsv`) — never delete-then-rename, which
+  * has a crash window that destroys the whole log and a read window
+  * where a tailing stream sees an empty log and dies spuriously (the
+  * advisory manifest can afford that; this file is correctness-bearing
+  * for resume-across-compaction). Readers pick the highest version;
+  * superseded versions and the legacy unversioned `_generations.tsv`
+  * are deleted best-effort AFTER the new version is visible, so every
+  * crash point leaves a complete log on disk. A rename that finds its
+  * versioned name taken fails loudly — two racing compactions cannot
+  * silently drop each other's record. If the log is missing or
+  * unparseable, streams degrade to round 4's loud rewrite error (never
+  * to silent re-emission or loss). Records are capped at
+  * [[MaxGenerations]] — a checkpoint older than the horizon fails
+  * loudly with the missing-generation error.
   *
   * Reference note: the reference format has no streaming or compaction
   * surface at all (its answer to file maintenance is re-ingest,
@@ -63,10 +72,26 @@ private[graft] object ShardToken {
 
 object LakeGenerations {
 
+  /** Legacy single-file name (pre-versioned lakes); still read when no
+    * versioned log exists, deleted best-effort on the next publish.
+    */
   val FileName = "_generations.tsv"
 
   /** Oldest records kept; resuming from before the horizon fails loudly. */
   val MaxGenerations = 1024
+
+  private def versionedPath(dir: Path, gen: Long): Path =
+    new Path(dir, f"_generations.v$gen%019d.tsv")
+
+  /** Versioned log files present, ascending by version. */
+  private def versions(fs: FileSystem, dir: Path): Seq[Path] = {
+    val glob = fs.globStatus(new Path(dir, "_generations.v*.tsv"))
+    if (glob == null) Seq.empty
+    else glob.map(_.getPath).filter { p =>
+      val core = p.getName.stripPrefix("_generations.v").stripSuffix(".tsv")
+      core.nonEmpty && core.forall(_.isDigit)
+    }.sortBy(_.getName).toSeq
+  }
 
   final case class Gen(gen: Long, token: String,
                        condemned: Set[String], replacements: Set[String]) {
@@ -80,8 +105,8 @@ object LakeGenerations {
     * strictly safe, never wrong).
     */
   def read(fs: FileSystem, dir: Path): Seq[Gen] = {
-    val f = new Path(dir, FileName)
     try {
+      val f = versions(fs, dir).lastOption.getOrElse(new Path(dir, FileName))
       if (!fs.exists(f)) return Seq.empty
       val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
       val in = fs.open(f)
@@ -100,6 +125,20 @@ object LakeGenerations {
 
   def currentGen(fs: FileSystem, dir: Path): Long =
     read(fs, dir).lastOption.map(_.gen).getOrElse(0L)
+
+  /** Drop the whole log — for truncate-overwrite, which rewrites the lake
+    * OUTSIDE the generation protocol (fresh gen-0 lake). A retained log
+    * would resurrect its recorded replacement names as pending tracked
+    * files and leave the lake permanently unstreamable even from a fresh
+    * checkpoint. Streams holding gen>0 checkpoints over the truncated
+    * lake then fail with the loud log-lost error — correct, their rows
+    * were destroyed.
+    */
+  def clear(fs: FileSystem, dir: Path): Unit = {
+    versions(fs, dir).foreach(fs.delete(_, false))
+    val legacy = new Path(dir, FileName)
+    if (fs.exists(legacy)) fs.delete(legacy, false)
+  }
 
   /** Record a new generation (the swap `condemned` -> `replacements`)
     * and return its number. Call AFTER the rewrite job has committed its
@@ -126,9 +165,21 @@ object LakeGenerations {
     val out = fs.create(tmp, true)
     try out.write(all.map(_.line).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val fin = new Path(dir, FileName)
-    if (fs.exists(fin)) fs.delete(fin, false)
-    require(fs.rename(tmp, fin), s"failed to publish $FileName under $dir")
+    // publish by renaming to a FRESH versioned name: no crash point loses
+    // the prior log, no reader window sees an absent log, and a racing
+    // compaction that computed the same version fails the rename loudly
+    // instead of silently overwriting this record
+    val fin = versionedPath(dir, gen)
+    require(!fs.exists(fin) && fs.rename(tmp, fin),
+      s"failed to publish ${fin.getName} under $dir (concurrent compaction?)")
+    // superseded versions + the legacy unversioned file go away
+    // best-effort — a failed delete only costs a stale extra file that
+    // every reader already ignores in favor of the highest version
+    try {
+      versions(fs, dir).filter(_.getName < fin.getName).foreach(fs.delete(_, false))
+      val legacy = new Path(dir, FileName)
+      if (fs.exists(legacy)) fs.delete(legacy, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
     gen
   }
 }

@@ -94,7 +94,11 @@ object LakeHealth {
     val rows =
       if (vs.isEmpty) None
       else Some(Ingest.lineageAt(spark, dir, vs.last)
-        .agg(org.apache.spark.sql.functions.sum("rows")).head().getLong(0))
+        // sum over an EMPTY snapshot is SQL NULL — a zero-doc ingest must
+        // describe as 0 features, not NPE the Info CLI
+        .agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("rows"),
+          org.apache.spark.sql.functions.lit(0L))).head().getLong(0))
     Health(
       layout = "parquet",
       files = files.size, bytes = files.map(_.getLen).sum,

@@ -240,6 +240,55 @@ class CompactionSpec extends AnyFunSuite {
     assert(idsAt(dir) == rows)
   }
 
+  test("generation log is versioned: one file per publish, legacy logs still read") {
+    import graft.sources.v2.LakeGenerations
+    // the log is correctness-bearing for exactly-once resume, so publish
+    // renames to a FRESH versioned name (a delete-then-rename would have
+    // a crash window destroying the whole log and a read window where a
+    // tailing stream sees an empty log and dies spuriously)
+    val dir = overlappingLake(3)
+    Compact.compact(spark, dir, numShards = 2)
+    val d = new java.io.File(dir)
+    def genFiles() = d.listFiles().map(_.getName).filter(_.startsWith("_generations")).sorted
+    val g1 = genFiles()
+    assert(g1.length == 1 && g1.head.matches("_generations\\.v\\d{19}\\.tsv"),
+      s"expected exactly one versioned log, got: ${g1.mkString(",")}")
+    Compact.compact(spark, dir, numShards = 1)
+    val g2 = genFiles()
+    assert(g2.length == 1 && g2.head > g1.head,
+      s"superseded version must be cleaned after the new one is visible: ${g2.mkString(",")}")
+
+    // a round-4 lake's unversioned log is still read; the next publish
+    // migrates it to a versioned file; clear() (truncate semantics)
+    // removes every variant
+    val legacyDir = java.nio.file.Files.createTempDirectory("gm_legacy").toString
+    val lp = new org.apache.hadoop.fs.Path(legacyDir)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val rec = LakeGenerations.Gen(1L, "tok1", Set("a.geomedea"), Set("b.geomedea"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(legacyDir, LakeGenerations.FileName),
+      (rec.line + "\n").getBytes("UTF-8"))
+    assert(LakeGenerations.read(fs, lp) == Seq(rec))
+    LakeGenerations.append(fs, lp, "tok2", Seq("b.geomedea"), Seq("c.geomedea"))
+    assert(LakeGenerations.read(fs, lp).map(_.gen) == Seq(1L, 2L))
+    assert(!new java.io.File(legacyDir, LakeGenerations.FileName).exists(),
+      "legacy log must be migrated away after a versioned publish")
+    LakeGenerations.clear(fs, lp)
+    assert(LakeGenerations.read(fs, lp).isEmpty)
+    assert(new java.io.File(legacyDir).listFiles()
+      .forall(f => !f.getName.startsWith("_generations")))
+  }
+
+  test("LakeHealth: empty lineage snapshot reports 0 features instead of an NPE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gm_health0").toString
+    // a published snapshot over zero docs: sum(rows) is SQL NULL
+    Seq.empty[(String, Long)].toDF("file", "rows")
+      .repartition(1).write.parquet(s"$dir/_lineage/v=1")
+    val h = graft.table.LakeHealth.describe(spark, dir)
+    assert(h.layout == "parquet" && h.rows.contains(0L) && h.generation == 1)
+  }
+
   test("auto shard sizing targets targetShardBytes; empty lake is a no-op") {
     val dir = overlappingLake(4)
     // tiny target -> many shards; huge target -> one shard

@@ -298,6 +298,40 @@ class StreamAndAggSpec extends AnyFunSuite {
     assert(got.asScala.sum == 40L)
   }
 
+  test("truncate-overwrite of a previously compacted lake: fresh streams work again") {
+    // regression: the generation log used to survive truncate-overwrite,
+    // and snapshot() resurrected its recorded replacement names (deleted
+    // by the truncate) as pending tracked files — every first batch of
+    // every stream, even from a FRESH checkpoint, demanded names that
+    // could never reappear, leaving the lake permanently unstreamable.
+    // Truncate now clears the log: the lake restarts at generation 0.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("gm_trunc").toString
+    val lake = s"$base/lake"
+    def docs(ids: Range) = ids.map { i =>
+      (graft.geom.Wkb.write(graft.geom.Wkb.Pt(i * 1000000, i * 500000)),
+        Seq(graft.sources.GeoJsonIngest.toCell("id",
+          graft.codec.FeatureCodec.PInt64(i.toLong))))
+    }.toDF("wkb", "props")
+    docs(0 until 40).repartition(2).write.format("geomedea").mode("append").save(lake)
+    graft.jobs.Compact.compact(spark, lake, numShards = 1)
+    docs(100 until 110).write.format("geomedea").mode("overwrite").save(lake)
+    assert(!new java.io.File(lake).listFiles()
+      .exists(_.getName.startsWith("_generations")),
+      "truncate must clear the generation log — it rewrites the lake outside the protocol")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("geomedea").load(lake)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.add(df.count()); ()
+      }
+      .option("checkpointLocation", s"$base/ckpt_fresh")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(got.asScala.sum == 10L,
+      s"fresh stream over the truncated lake must emit exactly the new rows: $got")
+  }
+
   test("streaming -> native format: foreachBatch writes reference-format shards per batch") {
     // the streaming story composes with the distributed .geomedea writer:
     // readStream -> foreachBatch -> write.format("geomedea") appends
