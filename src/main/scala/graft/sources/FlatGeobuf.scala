@@ -997,10 +997,16 @@ object FlatGeobuf {
             (s, fetch(h.indexOffset + s * NodeBytes, ((e - s) * NodeBytes).toInt))
           }
           val next = Vector.newBuilder[(Long, Long)]
+          // running cursor instead of a per-node lastIndexWhere: bufs are
+          // sorted by start and idx is globally ascending across pending
+          // (merged preserves pending's order), so the owning buffer only
+          // ever moves forward — O(1) amortized vs O(ranges) per node,
+          // which went quadratic-ish on wide levels with fragmented hits
+          var bi = 0
           pending.foreach { case (s, e) =>
             var idx = s
             while (idx < e) {
-              val bi = bufs.lastIndexWhere(_._1 <= idx)
+              while (bi + 1 < bufs.size && bufs(bi + 1)._1 <= idx) bi += 1
               val (bs, buf) = bufs(bi)
               val fb = new FbBuf(buf)
               val o = ((idx - bs) * NodeBytes).toInt

@@ -191,6 +191,43 @@ object PropertiesSpec extends Properties("graft") {
       multiset(back) == multiset(feats) && multiset(bb) == multiset(brute)
     }
 
+  property("wide-level fragmented hits: ranged scans equal in-memory scans") = {
+    // the shape where the per-node lastIndexWhere went quadratic before
+    // the running cursor: a WIDE index level whose surviving ranges stay
+    // DISJOINT after the 16,000-byte merge, so the traversal walks
+    // multiple buffers per level. Both writers Hilbert-sort, so the
+    // fragmentation must be geometric: a thin strip across one row of a
+    // grid hits cells the curve visits in many separated passes (one
+    // feature per page makes the leaf level as wide as the grid).
+    val g = 192
+    def gridFeats = (0 until g * g).map { i =>
+      Feature(Wkb.Pt((i % g) * 1000000 - 64000000, (i / g) * 1000000 - 64000000),
+        Vector("i" -> PInt64(i.toLong)))
+    }
+    val strip = Envelope(-2000000000, -500000, 2000000000, 500000)
+
+    val bytes = GeomedeaFile.write(gridFeats, compressed = true, pageSizeGoal = 1)
+    val scan = GeomedeaFile.selectBboxRange(
+      (off, k) => bytes.slice(off.toInt, off.toInt + k), bytes.length.toLong, strip)
+    val got = scan.toVector
+    val gm = Prop(got == GeomedeaFile.selectBboxLocated(bytes, strip)) :| "gm rows equal" &&
+      Prop(got.size == g) :| s"gm size ${got.size}" &&
+      Prop(scan.requests >= 10) :| s"gm requests ${scan.requests}" && // disjoint ranges fetch separately
+      Prop(scan.bytesTransferred < bytes.length.toLong / 2) :|
+        s"gm transfer ${scan.bytesTransferred} of ${bytes.length}" // and transfer stays bounded
+
+    val fbytes = FlatGeobuf.write(gridFeats)
+    val fgot = FlatGeobuf.selectBboxRange(
+      (off, k) => fbytes.slice(off.toInt, off.toInt + k),
+      fbytes.length.toLong, strip).toVector.map(_._2)
+    def key(f: Feature) = (Wkb.asText(f.geom), f.props)
+    def multiset(xs: Seq[Feature]) =
+      xs.map(key).groupBy(identity).view.mapValues(_.size).toMap
+    val fbrute = FlatGeobuf.selectAll(fbytes).filter(_.geom.envelope.intersects(strip))
+    gm && Prop(fgot.size == g) :| s"fgb size ${fgot.size}" &&
+      Prop(multiset(fgot) == multiset(fbrute)) :| "fgb rows equal"
+  }
+
   property("manifest parser never throws on arbitrary bytes (None/Some, planner falls back)") =
     Prop.forAll(Gen.choose(0, 400).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))) { bs: List[Byte] =>
