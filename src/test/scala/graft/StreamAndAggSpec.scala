@@ -332,6 +332,64 @@ class StreamAndAggSpec extends AnyFunSuite {
       s"fresh stream over the truncated lake must emit exactly the new rows: $got")
   }
 
+  test("streaming bbox planning: stale manifest entry (wrong length) never prunes a live shard") {
+    // the batch planner only trusts a manifest that matches the live
+    // files byte-for-byte; the streaming planner must hold the same bar.
+    // A stale same-named entry with a wrong extent would otherwise prune
+    // a fresh intersecting shard — and since offsets advance past pruned
+    // names, those rows would be lost SILENTLY and FOREVER, the one
+    // failure mode worse than a slow plan.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.v2.GeomedeaManifest
+    def mkLake(base: String): String = {
+      val lake = s"$base/lake"
+      (0 until 20).map { i =>
+        (graft.geom.Wkb.write(graft.geom.Wkb.Pt(i * 1000000, i * 500000)),
+          Seq(graft.sources.GeoJsonIngest.toCell("id",
+            graft.codec.FeatureCodec.PInt64(i.toLong))))
+      }.toDF("wkb", "props")
+        .repartition(1).write.format("geomedea").mode("append").save(lake)
+      lake
+    }
+    def streamCount(lake: String, ckpt: String): Long = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("geomedea")
+        .option("bbox", "0,0,20000000,10000000").load(lake)
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.add(df.count()); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.asScala.sum
+    }
+    def forge(lake: String, lenDelta: Long): Unit = {
+      val p = new org.apache.hadoop.fs.Path(lake)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val far = GeomedeaManifest.read(fs, p).get.values.map(e => e.copy(
+        len = e.len + lenDelta, minLng = 1790000000, minLat = 880000000,
+        maxLng = 1800000000, maxLat = 890000000)).toSeq
+      GeomedeaManifest.write(fs, p, far, "forge")
+    }
+
+    // wrong length -> the entry is invalid; the planner must fall back to
+    // the shard's real header and KEEP it
+    val a = java.nio.file.Files.createTempDirectory("gm_mfstale").toString
+    val lakeA = mkLake(a)
+    forge(lakeA, lenDelta = 7)
+    assert(streamCount(lakeA, s"$a/ckpt") == 20L,
+      "a wrong-length manifest entry must be ignored, not trusted into pruning")
+
+    // correct length + far extent -> the entry IS consumed (proof the
+    // fast path plans off the manifest): the shard prunes, batch is empty
+    val b = java.nio.file.Files.createTempDirectory("gm_mfvalid").toString
+    val lakeB = mkLake(b)
+    forge(lakeB, lenDelta = 0)
+    assert(streamCount(lakeB, s"$b/ckpt") == 0L,
+      "a length-consistent manifest extent must drive streaming planning-time pruning")
+  }
+
   test("streaming -> native format: foreachBatch writes reference-format shards per batch") {
     // the streaming story composes with the distributed .geomedea writer:
     // readStream -> foreachBatch -> write.format("geomedea") appends
