@@ -159,6 +159,18 @@ object SparkEntry {
           col("d").cast("long").as("ext_max_lat"), col("n"))
     }),
 
+    // kNN through the DISTRIBUTED ring-expansion fallback (maxBroadcast
+    // forced below the query count): the path oversized query sets take
+    // automatically — same math as q07, executor-side ring planning, the
+    // cell equi-join shuffling both sides. Oracled against the same
+    // brute-force top-k SQL, so the driver gate proves path equivalence.
+    "q49_knn_ring" -> ((s, dir) => {
+      Knn.knn(geo(s, dir), InterleavedDocs.nationQueryPoints(s, dir), k = 3,
+          maxBroadcast = 0)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("doc_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // table maintenance: a RANDOMLY-partitioned multi-shard lake (every
     // shard extent ~= global, the worst case appends converge to) is
     // re-clustered by Compact.compact (global Hilbert-desc rewrite via
@@ -627,6 +639,19 @@ object SparkEntry {
       s"""WITH $P SELECT CAST(min(lng) AS BIGINT) AS ext_min_lng, CAST(min(lat) AS BIGINT) AS ext_min_lat,
          |CAST(max(lng) AS BIGINT) AS ext_max_lng, CAST(max(lat) AS BIGINT) AS ext_max_lat,
          |count(*) AS n FROM pts""".stripMargin,
+
+    // identical oracle to q07: the distributed fallback must return the
+    // exact same neighbors the broadcast path does
+    "q49_knn_ring" ->
+      s"""WITH $P, $Q, d AS (
+         |  SELECT q.query_id, p.doc_id,
+         |         CAST(p.lng - q.q_lng AS DOUBLE) * CAST(p.lng - q.q_lng AS DOUBLE)
+         |       + CAST(p.lat - q.q_lat AS DOUBLE) * CAST(p.lat - q.q_lat AS DOUBLE) AS dist2
+         |  FROM pts p CROSS JOIN qpts q),
+         |r AS (SELECT query_id, doc_id,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY dist2, doc_id) AS rank FROM d)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q18_tile_vector_scale" ->
       s"""WITH $P SELECT ((lng + 1800000000) // 450000000) * 8 + ((lat + 900000000) // 225000000) AS tile_id,
