@@ -143,6 +143,94 @@ object Compact {
     fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(suffix))
   }
 
+  /** INCREMENTAL compaction: rewrite only the shards that erode pruning,
+    * leaving already-clustered shards byte-untouched. Returns the number
+    * of shards rewritten (0 = the lake is already clustered — the
+    * convergent no-op a scheduler polls for).
+    *
+    * Selection is O(shards) off the planning manifest, no data read:
+    *
+    *  - OVERSPREAD: extent area > `spreadFactor` x (union area / live
+    *    shards). After a global rewrite each shard owns a contiguous
+    *    Hilbert range whose bounding box covers ~1/n of the lake, while
+    *    an independent append's extent approaches the whole lake — area
+    *    against the ideal share separates the two without any O(n^2)
+    *    pairwise-overlap pass, and thin boundary overlaps between
+    *    adjacent Hilbert ranges (inherent to a curve layout) never
+    *    re-trigger work, so repeated calls CONVERGE.
+    *  - UNDERSIZED: bytes < targetShardBytes / 4 — small-file merging.
+    *  - UNKNOWN: no length-validated manifest extent (foreign/manual
+    *    files). One rewrite brings them into the described fold.
+    *
+    * A single candidate is left alone (rewriting one shard alone cannot
+    * improve pruning; it would churn a legitimately sparse region
+    * forever). Candidates then flow through the same sliced pinned-set
+    * swap as [[compact]], so crash recovery, streams-across-compaction
+    * and concurrent-append safety are identical.
+    */
+  def incremental(spark: SparkSession, dir: String, numShards: Int = 0,
+                  compressed: Boolean = true,
+                  targetShardBytes: Long = DefaultTargetShardBytes,
+                  format: String = "geomedea",
+                  maxShardsPerCall: Int = 0,
+                  spreadFactor: Double = 4.0): Int = {
+    require(spreadFactor > 1.0, s"spreadFactor must be > 1; got $spreadFactor")
+    require(targetShardBytes > 0, s"targetShardBytes must be positive; got $targetShardBytes")
+    val suffix = format match {
+      case "geomedea"   => ".geomedea"
+      case "flatgeobuf" => ".fgb"
+      case other => throw new IllegalArgumentException(
+        s"unsupported compaction format '$other' (geomedea | flatgeobuf)")
+    }
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return 0
+    finishPendingSwap(fs, p)
+    val shards =
+      fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
+    val picked = pickCandidates(fs, p, shards, targetShardBytes, spreadFactor)
+    if (picked.size < 2) return 0
+    val pickedBytes = math.max(1L, picked.map(_.getLen).sum)
+    val slices: Seq[Seq[FileStatus]] =
+      if (maxShardsPerCall > 0 && picked.size > maxShardsPerCall)
+        sliceSpatially(fs, p, picked, maxShardsPerCall)
+      else Seq(picked)
+    slices.foreach { slice =>
+      val sliceBytes = slice.map(_.getLen).sum
+      val n =
+        if (numShards > 0)
+          math.max(1L, math.round(numShards.toDouble * sliceBytes / pickedBytes)).toInt
+        else math.max(1L, (sliceBytes + targetShardBytes - 1) / targetShardBytes).toInt
+      compactSet(spark, p, fs, slice, n, compressed, format, suffix)
+    }
+    picked.size
+  }
+
+  /** The shards [[incremental]] would rewrite (also surfaced as lake
+    * health: a scheduler triggers maintenance when this is non-empty
+    * "when the manifest shows extent overlap", without reading data).
+    */
+  private[graft] def pickCandidates(fs: FileSystem, p: Path, shards: Seq[FileStatus],
+                                    targetShardBytes: Long,
+                                    spreadFactor: Double = 4.0): Seq[FileStatus] = {
+    if (shards.size < 2) return Seq.empty
+    val manifest = GeomedeaManifest.read(fs, p).getOrElse(Map.empty)
+    def extentOf(s: FileStatus): Option[Envelope] =
+      manifest.get(s.getPath.getName).filter(_.len == s.getLen).flatMap(_.extent)
+    def area(e: Envelope): Double =
+      (e.maxLng.toDouble - e.minLng) * (e.maxLat.toDouble - e.minLat)
+    val known = shards.flatMap(extentOf)
+    val union = known.foldLeft(Envelope.empty)(_ union _)
+    val ideal = if (known.isEmpty) 0.0 else area(union) / shards.size
+    shards.filter { s =>
+      s.getLen < targetShardBytes / 4 ||
+        (extentOf(s) match {
+          case Some(e) => ideal > 0.0 && area(e) > spreadFactor * ideal
+          case None    => true // undescribed: rewrite once, then it's known
+        })
+    }
+  }
+
   /** Spatially-coherent bounded slices: shards ordered by the Hilbert
     * position of their manifest-extent centers (over the union extent),
     * grouped into runs of `cap`. Ordering quality is ADVISORY only —

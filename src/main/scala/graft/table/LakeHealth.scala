@@ -34,7 +34,8 @@ object LakeHealth {
   final case class Health(layout: String, files: Long, bytes: Long,
                           rows: Option[Long], manifestState: String,
                           generation: Long, history: Seq[String],
-                          pendingMaintenance: Boolean)
+                          pendingMaintenance: Boolean,
+                          compactionCandidates: Long = 0L)
 
   /** Classify `dir`: a directory holding `.geomedea`/`.fgb` shards is a
     * container lake of that suffix; anything else readable is treated as
@@ -75,7 +76,11 @@ object LakeHealth {
       history = log.map(g =>
         s"gen ${g.gen}: compacted ${g.condemned.size} -> ${g.replacements.size} " +
           s"shard(s) [${g.token}]"),
-      pendingMaintenance = Compact.hasPendingSwap(fs, p))
+      pendingMaintenance = Compact.hasPendingSwap(fs, p),
+      // what Compact.incremental would rewrite (manifest-only check) —
+      // the "trigger maintenance when the manifest shows overlap" signal
+      compactionCandidates =
+        Compact.pickCandidates(fs, p, files, Compact.DefaultTargetShardBytes).size.toLong)
   }
 
   def parquetTable(spark: SparkSession, dir: String): Health = {
@@ -121,6 +126,9 @@ object LakeHealth {
     sb.append(s"generation: ${h.generation}\n")
     sb.append(s"pending_compaction_swap: ${
       if (h.pendingMaintenance) "YES (next compact() completes it)" else "no"}\n")
+    if (h.compactionCandidates >= 2)
+      sb.append(s"compaction_candidates: ${h.compactionCandidates} " +
+        "(overspread/undersized/undescribed shards Compact.incremental would rewrite)\n")
     if (h.history.nonEmpty) {
       sb.append("history:\n")
       h.history.foreach(l => sb.append(s"  $l\n"))

@@ -289,6 +289,50 @@ class CompactionSpec extends AnyFunSuite {
     assert(h.layout == "parquet" && h.rows.contains(0L) && h.generation == 1)
   }
 
+  test("incremental compaction rewrites only the overspread appends and converges") {
+    import spark.implicits._
+    // clustered baseline: 4 shards, each owning a contiguous Hilbert
+    // range (small extent vs the union)
+    val dir = overlappingLake(4)
+    Compact.compact(spark, dir, numShards = 4)
+    def names() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".geomedea")).toSet
+    val clustered = names()
+    // three independent global-spread appends (extent ~= the whole lake —
+    // exactly what erodes pruning) through the v2 writer, so the manifest
+    // describes them
+    for (a <- 0 until 3) {
+      (0 until 20).map { i =>
+        val id = (1000 + a * 100 + i).toLong
+        val lng = (if (i % 2 == 0) i % 10 else 100 + i % 10) * 1e7
+        (graft.geom.Wkb.write(graft.geom.Wkb.Pt(lng.toInt, (i / 2 * 1e7).toInt)),
+          Seq(graft.sources.GeoJsonIngest.toCell("doc",
+            graft.codec.FeatureCodec.PString(s"doc-$id")),
+            graft.sources.GeoJsonIngest.toCell("id",
+              graft.codec.FeatureCodec.PInt64(id))))
+      }.toDF("wkb", "props")
+        .repartition(1).write.format("geomedea").mode("append").save(dir)
+    }
+    val rows = idsAt(dir)
+    assert(rows.size == 140)
+    // targetShardBytes = 1 disables the small-file criterion (tiny test
+    // shards would otherwise all qualify); selection is purely extent
+    // area vs the ideal per-shard share
+    val picked = Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1)
+    assert(picked == 3, s"exactly the three overspread appends, got $picked")
+    assert(clustered.subsetOf(names()),
+      "already-clustered shards must survive incremental compaction byte-untouched")
+    assert(idsAt(dir) == rows)
+    // pruning restored: a west rect plans a strict subset again (before
+    // incremental, the 3 global appends survived every rect)
+    val west = Envelope.fromDegrees(0, 0, 10, 10)
+    assert(GeomedeaTable.scanFiles(dir, Some(west)).size < names().size)
+    // CONVERGED: the replacements own small Hilbert ranges now — repeated
+    // maintenance calls are no-ops, never churn
+    assert(Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1) == 0)
+    assert(idsAt(dir) == rows)
+  }
+
   test("auto shard sizing targets targetShardBytes; empty lake is a no-op") {
     val dir = overlappingLake(4)
     // tiny target -> many shards; huge target -> one shard
