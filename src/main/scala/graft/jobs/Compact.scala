@@ -108,15 +108,8 @@ object Compact {
               targetShardBytes: Long = DefaultTargetShardBytes,
               format: String = "geomedea",
               maxShardsPerCall: Int = 0): Int = {
-    require(numShards >= 0, s"numShards must be >= 0; got $numShards")
-    require(targetShardBytes > 0, s"targetShardBytes must be positive; got $targetShardBytes")
-    require(maxShardsPerCall >= 0, s"maxShardsPerCall must be >= 0; got $maxShardsPerCall")
-    val suffix = format match {
-      case "geomedea"   => ".geomedea"
-      case "flatgeobuf" => ".fgb"
-      case other => throw new IllegalArgumentException(
-        s"unsupported compaction format '$other' (geomedea | flatgeobuf)")
-    }
+    validateArgs(numShards, targetShardBytes, maxShardsPerCall)
+    val suffix = suffixFor(format)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return 0
@@ -127,11 +120,43 @@ object Compact {
     val shards =
       fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
     if (shards.isEmpty) return 0
-    val totalBytes = math.max(1L, shards.map(_.getLen).sum)
+    rewriteSlices(spark, p, fs, shards, numShards, compressed, targetShardBytes,
+      format, suffix, maxShardsPerCall)
+    fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(suffix))
+  }
+
+  private def validateArgs(numShards: Int, targetShardBytes: Long,
+                           maxShardsPerCall: Int): Unit = {
+    require(numShards >= 0, s"numShards must be >= 0; got $numShards")
+    require(targetShardBytes > 0, s"targetShardBytes must be positive; got $targetShardBytes")
+    require(maxShardsPerCall >= 0, s"maxShardsPerCall must be >= 0; got $maxShardsPerCall")
+  }
+
+  private def suffixFor(format: String): String = format match {
+    case "geomedea"   => ".geomedea"
+    case "flatgeobuf" => ".fgb"
+    case other => throw new IllegalArgumentException(
+      s"unsupported compaction format '$other' (geomedea | flatgeobuf)")
+  }
+
+  /** Shared rewrite loop: slice `picked` (spatially when over the cap),
+    * apportion the output shard budget by byte share of the PICKED set,
+    * swap each slice. One manifest read serves slicing.
+    */
+  private def rewriteSlices(spark: SparkSession, p: Path, fs: FileSystem,
+                            picked: Seq[FileStatus], numShards: Int,
+                            compressed: Boolean, targetShardBytes: Long,
+                            format: String, suffix: String,
+                            maxShardsPerCall: Int,
+                            // by-name: read (or reuse) only when slicing
+                            manifestForSlicing: => Map[String, GeomedeaManifest.Entry] = null): Unit = {
+    val totalBytes = math.max(1L, picked.map(_.getLen).sum)
     val slices: Seq[Seq[FileStatus]] =
-      if (maxShardsPerCall > 0 && shards.size > maxShardsPerCall)
-        sliceSpatially(fs, p, shards, maxShardsPerCall)
-      else Seq(shards)
+      if (maxShardsPerCall > 0 && picked.size > maxShardsPerCall) {
+        val m = Option(manifestForSlicing)
+          .getOrElse(GeomedeaManifest.read(fs, p).getOrElse(Map.empty))
+        sliceSpatially(picked, maxShardsPerCall, m)
+      } else Seq(picked)
     slices.foreach { slice =>
       val sliceBytes = slice.map(_.getLen).sum
       val n =
@@ -140,7 +165,19 @@ object Compact {
         else math.max(1L, (sliceBytes + targetShardBytes - 1) / targetShardBytes).toInt
       compactSet(spark, p, fs, slice, n, compressed, format, suffix)
     }
-    fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(suffix))
+  }
+
+  /** Truncate-overwrite rewrites a lake OUTSIDE the maintenance
+    * protocol: drop every maintenance artifact — the generation log (a
+    * retained one would resurrect its recorded replacement names and
+    * permanently break streaming; the lake restarts at generation 0) and
+    * the legacy crashed-swap journal whose condemned rows no longer
+    * exist. Shared by both container writers' truncate paths.
+    */
+  def clearMaintenanceState(fs: FileSystem, dir: Path): Unit = {
+    LakeGenerations.clear(fs, dir)
+    val pending = new Path(dir, PendingFile)
+    if (fs.exists(pending)) fs.delete(pending, false)
   }
 
   /** INCREMENTAL compaction: rewrite only the shards that erode pruning,
@@ -174,47 +211,44 @@ object Compact {
                   format: String = "geomedea",
                   maxShardsPerCall: Int = 0,
                   spreadFactor: Double = 4.0): Int = {
+    validateArgs(numShards, targetShardBytes, maxShardsPerCall)
     require(spreadFactor > 1.0, s"spreadFactor must be > 1; got $spreadFactor")
-    require(targetShardBytes > 0, s"targetShardBytes must be positive; got $targetShardBytes")
-    val suffix = format match {
-      case "geomedea"   => ".geomedea"
-      case "flatgeobuf" => ".fgb"
-      case other => throw new IllegalArgumentException(
-        s"unsupported compaction format '$other' (geomedea | flatgeobuf)")
-    }
+    val suffix = suffixFor(format)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return 0
-    finishPendingSwap(fs, p)
+    val log = finishPendingSwap(fs, p)
     val shards =
       fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
-    val picked = pickCandidates(fs, p, shards, targetShardBytes, spreadFactor)
+    val manifest = GeomedeaManifest.read(fs, p).getOrElse(Map.empty)
+    val picked = pickCandidates(shards, targetShardBytes, spreadFactor,
+      manifest, log.lastOption)
     if (picked.size < 2) return 0
-    val pickedBytes = math.max(1L, picked.map(_.getLen).sum)
-    val slices: Seq[Seq[FileStatus]] =
-      if (maxShardsPerCall > 0 && picked.size > maxShardsPerCall)
-        sliceSpatially(fs, p, picked, maxShardsPerCall)
-      else Seq(picked)
-    slices.foreach { slice =>
-      val sliceBytes = slice.map(_.getLen).sum
-      val n =
-        if (numShards > 0)
-          math.max(1L, math.round(numShards.toDouble * sliceBytes / pickedBytes)).toInt
-        else math.max(1L, (sliceBytes + targetShardBytes - 1) / targetShardBytes).toInt
-      compactSet(spark, p, fs, slice, n, compressed, format, suffix)
-    }
+    rewriteSlices(spark, p, fs, picked, numShards, compressed, targetShardBytes,
+      format, suffix, maxShardsPerCall, manifest)
     picked.size
   }
 
   /** The shards [[incremental]] would rewrite (also surfaced as lake
     * health: a scheduler triggers maintenance when this is non-empty
     * "when the manifest shows extent overlap", without reading data).
+    *
+    * Shards named as the LAST generation's replacements are never
+    * candidates: they just came out of a rewrite, so rewriting them again
+    * (alone) cannot improve their layout — without this exclusion a
+    * globally-spread subset whose replacement ranges still cover large
+    * boxes would be re-picked on every call and a polling scheduler would
+    * rewrite the same bytes forever. They become eligible again once a
+    * NEWER generation exists (i.e. once fresh appends brought real work),
+    * so their layout still converges over time instead of churning.
     */
-  private[graft] def pickCandidates(fs: FileSystem, p: Path, shards: Seq[FileStatus],
+  private[graft] def pickCandidates(shards: Seq[FileStatus],
                                     targetShardBytes: Long,
-                                    spreadFactor: Double = 4.0): Seq[FileStatus] = {
+                                    spreadFactor: Double,
+                                    manifest: Map[String, GeomedeaManifest.Entry],
+                                    lastGen: Option[LakeGenerations.Gen]): Seq[FileStatus] = {
     if (shards.size < 2) return Seq.empty
-    val manifest = GeomedeaManifest.read(fs, p).getOrElse(Map.empty)
+    val justRewritten: Set[String] = lastGen.map(_.replacements).getOrElse(Set.empty)
     def extentOf(s: FileStatus): Option[Envelope] =
       manifest.get(s.getPath.getName).filter(_.len == s.getLen).flatMap(_.extent)
     def area(e: Envelope): Double =
@@ -223,11 +257,12 @@ object Compact {
     val union = known.foldLeft(Envelope.empty)(_ union _)
     val ideal = if (known.isEmpty) 0.0 else area(union) / shards.size
     shards.filter { s =>
-      s.getLen < targetShardBytes / 4 ||
-        (extentOf(s) match {
-          case Some(e) => ideal > 0.0 && area(e) > spreadFactor * ideal
-          case None    => true // undescribed: rewrite once, then it's known
-        })
+      !justRewritten(s.getPath.getName) &&
+        (s.getLen < targetShardBytes / 4 ||
+          (extentOf(s) match {
+            case Some(e) => ideal > 0.0 && area(e) > spreadFactor * ideal
+            case None    => true // undescribed: rewrite once, then it's known
+          }))
     }
   }
 
@@ -239,9 +274,9 @@ object Compact {
     * coherence (less pruning improvement per slice), never correctness,
     * because every slice's rows are re-read from the pinned statuses.
     */
-  private def sliceSpatially(fs: FileSystem, p: Path, shards: Seq[FileStatus],
-                             cap: Int): Seq[Seq[FileStatus]] = {
-    val manifest = GeomedeaManifest.read(fs, p).getOrElse(Map.empty)
+  private def sliceSpatially(shards: Seq[FileStatus], cap: Int,
+                             manifest: Map[String, GeomedeaManifest.Entry])
+  : Seq[Seq[FileStatus]] = {
     def extentOf(s: FileStatus): Option[Envelope] =
       manifest.get(s.getPath.getName).filter(_.len == s.getLen).flatMap(_.extent)
     val global = shards.flatMap(extentOf).foldLeft(Envelope.empty)(_ union _)
@@ -345,10 +380,11 @@ object Compact {
     * any legacy round-4 journal, then orphan stage dirs from rewrites
     * that failed before their record existed.
     */
-  private def finishPendingSwap(fs: FileSystem, p: Path): Unit = {
-    // one log read serves both the outstanding-swap check and the orphan
-    // sweep's owner filter — on an object store each read is a full GET,
-    // and two reads could race a concurrent publish into an inconsistent
+  private def finishPendingSwap(fs: FileSystem, p: Path): Seq[LakeGenerations.Gen] = {
+    // one log read serves the outstanding-swap check, the orphan sweep's
+    // owner filter AND the caller (incremental's just-rewritten
+    // exclusion) — on an object store each read is a full GET, and two
+    // reads could race a concurrent publish into an inconsistent
     // newest-token decision within this one call
     val log = LakeGenerations.read(fs, p)
     log.lastOption.foreach { g =>
@@ -382,13 +418,21 @@ object Compact {
       !lastToken.contains(s.getPath.getName.stripPrefix(StagePrefix)))
       .foreach(s => try fs.delete(s.getPath, true)
       catch { case scala.util.control.NonFatal(_) => () })
+    log
   }
 
   /** True when the lake has an interrupted compaction swap (surfaced by
     * the Info CLI; the next `compact` call completes it).
     */
-  def hasPendingSwap(fs: FileSystem, p: Path): Boolean = {
-    val rec = LakeGenerations.read(fs, p).lastOption.exists { g =>
+  def hasPendingSwap(fs: FileSystem, p: Path): Boolean =
+    hasPendingSwap(fs, p, LakeGenerations.read(fs, p))
+
+  /** Overload for callers that already hold the parsed log (LakeHealth —
+    * avoids a redundant object-store GET per describe).
+    */
+  def hasPendingSwap(fs: FileSystem, p: Path,
+                     log: Seq[LakeGenerations.Gen]): Boolean = {
+    val rec = log.lastOption.exists { g =>
       fs.exists(new Path(p, s"$StagePrefix${g.token}")) ||
         g.condemned.exists(nm =>
           !nm.contains('/') && !nm.contains('\\') && fs.exists(new Path(p, nm)))

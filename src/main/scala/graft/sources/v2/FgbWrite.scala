@@ -62,13 +62,7 @@ class FgbBatchWrite(path: String, schema: StructType, nodeSize: Int,
     if (truncate && fs.exists(dir)) {
       fs.listStatus(dir).filter(_.getPath.getName.endsWith(".fgb"))
         .foreach(s => fs.delete(s.getPath, false))
-      // truncate rewrites the lake OUTSIDE the compaction protocol: drop
-      // the generation log (a retained one would resurrect its recorded
-      // replacement names and permanently break streaming) and the legacy
-      // crashed-swap journal whose condemned rows no longer exist
-      LakeGenerations.clear(fs, dir)
-      val pending = new Path(dir, graft.jobs.Compact.PendingFile)
-      if (fs.exists(pending)) fs.delete(pending, false)
+      graft.jobs.Compact.clearMaintenanceState(fs, dir)
     }
     val fresh = messages.collect {
       case c: FgbCommit =>

@@ -87,7 +87,8 @@ class GeomedeaMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
     availableNowTarget = Some(snapshot())
 
   private def snapshot(): GeomedeaOffset =
-    GeomedeaOffset.snapshot(fs, new Path(path), listStatuses().map(_.getPath.toString))
+    GeomedeaOffset.snapshot(fs, new Path(path),
+      () => listStatuses().map(_.getPath.toString))
 
   override def latestOffset(): Offset = availableNowTarget.getOrElse(snapshot())
 
@@ -193,7 +194,7 @@ class FgbMicroBatchStream(path: String, bbox: Option[graft.geom.Envelope],
 
   private var availableNowTarget: Option[GeomedeaOffset] = None
   private def snapshot(): GeomedeaOffset =
-    GeomedeaOffset.snapshot(fs, new Path(path), listShards())
+    GeomedeaOffset.snapshot(fs, new Path(path), () => listShards())
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(snapshot())
   override def latestOffset(): Offset = availableNowTarget.getOrElse(snapshot())
@@ -286,28 +287,54 @@ object GeomedeaOffset {
     * record, or a replacement first appearing after its generation was
     * crossed would replay as fresh data.
     */
-  def snapshot(fs: FileSystem, dir: Path, live: Seq[String]): GeomedeaOffset = {
-    val log = LakeGenerations.read(fs, dir)
-    if (log.isEmpty) return GeomedeaOffset(0L, live)
-    val condemned = log.iterator.flatMap(_.condemned).toSet
-    val liveNames = live.iterator.map(nameOf).toSet
-    // pending (recorded but not yet renamed) replacements can only belong
-    // to the NEWEST generation — swaps are serial and completeSwap drops
-    // the stage dir LAST, so while any rename is outstanding the stage
-    // dir exists. Absent the stage dir, a recorded-but-missing
-    // replacement was deleted OUTSIDE the protocol (retention); tracking
-    // it would make the lake permanently unstreamable — every first
-    // batch, even from a fresh checkpoint, would demand a name that can
-    // never reappear.
-    val last = log.last
-    val pendingRepl =
-      if (!fs.exists(new Path(dir, s"${graft.jobs.Compact.StagePrefix}${last.token}")))
-        Vector.empty
-      else last.replacements.iterator
-        .filterNot(n => liveNames(n) || condemned(n))
-        .map(n => new Path(dir, n).toString).toVector
-    GeomedeaOffset(last.gen,
-      live.filterNot(f => condemned(nameOf(f))) ++ pendingRepl)
+  def snapshot(fs: FileSystem, dir: Path,
+               listLive: () => Seq[String]): GeomedeaOffset = {
+    // ORDER MATTERS against a concurrently completing swap (record ->
+    // rename replacements -> delete condemned -> drop stage dir LAST):
+    //
+    //  - stage dir present at the check: renames may be outstanding, so
+    //    the newest record's replacements are tracked as pending even if
+    //    the listing missed them (a stream crossing the generation must
+    //    commit them in the same batch, or a replacement appearing later
+    //    would replay as fresh data = silent duplication);
+    //  - stage dir ABSENT at the check: the swap (if any) fully
+    //    completed BEFORE the check, so a listing taken strictly AFTER
+    //    the check contains every replacement — which is why the listing
+    //    happens after the stage check, never before. A pre-listed
+    //    snapshot here could miss a replacement while also not tracking
+    //    it as pending, and the next batch would re-emit it.
+    //
+    // Absent the stage dir, a recorded-but-missing replacement was
+    // deleted OUTSIDE the protocol (retention); tracking it would make
+    // the lake permanently unstreamable — every first batch, even from a
+    // fresh checkpoint, would demand a name that can never reappear.
+    // If the log GROWS while we list (a whole new swap landed), retry
+    // with the fresh record; after the bounded retries a still-racing
+    // maintenance job degrades to resolveFresh's loud error, never to
+    // silent duplication.
+    var attempt = 0
+    while (true) {
+      val log = LakeGenerations.read(fs, dir)
+      if (log.isEmpty) return GeomedeaOffset(0L, listLive())
+      val last = log.last
+      val stageExists =
+        fs.exists(new Path(dir, s"${graft.jobs.Compact.StagePrefix}${last.token}"))
+      val live = listLive()
+      val logAfter = LakeGenerations.read(fs, dir)
+      if (logAfter == log || attempt >= 2) {
+        val condemned = log.iterator.flatMap(_.condemned).toSet
+        val liveNames = live.iterator.map(nameOf).toSet
+        val pendingRepl =
+          if (!stageExists) Vector.empty
+          else last.replacements.iterator
+            .filterNot(n => liveNames(n) || condemned(n))
+            .map(n => new Path(dir, n).toString).toVector
+        return GeomedeaOffset(last.gen,
+          live.filterNot(f => condemned(nameOf(f))) ++ pendingRepl)
+      }
+      attempt += 1
+    }
+    sys.error("unreachable")
   }
 
   /** The files a batch over `(start, end]` must emit, resolved through

@@ -77,13 +77,7 @@ class GeomedeaBatchWrite(path: String, schema: StructType, compressed: Boolean,
     if (truncate && fs.exists(dir)) {
       fs.listStatus(dir).filter(_.getPath.getName.endsWith(".geomedea"))
         .foreach(s => fs.delete(s.getPath, false))
-      // truncate rewrites the lake OUTSIDE the compaction protocol: drop
-      // the generation log (a retained one would resurrect its recorded
-      // replacement names and permanently break streaming) and the legacy
-      // crashed-swap journal whose condemned rows no longer exist
-      LakeGenerations.clear(fs, dir)
-      val pending = new Path(dir, graft.jobs.Compact.PendingFile)
-      if (fs.exists(pending)) fs.delete(pending, false)
+      graft.jobs.Compact.clearMaintenanceState(fs, dir)
     }
     val fresh = messages.collect {
       case c: GeomedeaCommit =>

@@ -30,21 +30,21 @@ import java.nio.charset.StandardCharsets
   * resets the tracked set to the compacted shard count, so checkpoint
   * offsets stay O(live shards) instead of O(every shard ever).
   *
-  * Durability: each publish renames a tmp file to a FRESH versioned
-  * name (`_generations.v<gen>.tsv`) — never delete-then-rename, which
-  * has a crash window that destroys the whole log and a read window
-  * where a tailing stream sees an empty log and dies spuriously (the
-  * advisory manifest can afford that; this file is correctness-bearing
-  * for resume-across-compaction). Readers pick the highest version;
-  * superseded versions and the legacy unversioned `_generations.tsv`
-  * are deleted best-effort AFTER the new version is visible, so every
-  * crash point leaves a complete log on disk. A rename that finds its
-  * versioned name taken fails loudly — two racing compactions cannot
-  * silently drop each other's record. If the log is missing or
-  * unparseable, streams degrade to round 4's loud rewrite error (never
-  * to silent re-emission or loss). Records are capped at
-  * [[MaxGenerations]] — a checkpoint older than the horizon fails
-  * loudly with the missing-generation error.
+  * Durability: each publish EXCLUSIVELY CREATES a FRESH versioned name
+  * (`_generations.v<gen>.tsv`, `create(overwrite = false)` — the atomic
+  * claim; an exists+rename pair would both race and silently overwrite
+  * on the local FS) carrying a `v1` record-count header. Readers try
+  * versions newest-first and skip a torn file (count mismatch / parse
+  * failure), falling back to the previous version — which is deleted
+  * only after the new one is fully written — so no crash point loses
+  * the log and no reader window sees an absent one (the advisory
+  * manifest can afford such windows; this file is correctness-bearing
+  * for resume-across-compaction). Racing publishers of the same
+  * generation fail the create loudly — records are never silently
+  * dropped. If the log is missing or unparseable, streams degrade to
+  * round 4's loud rewrite error (never to silent re-emission or loss).
+  * Records are capped at [[MaxGenerations]] — a checkpoint older than
+  * the horizon fails loudly with the missing-generation error.
   *
   * Reference note: the reference format has no streaming or compaction
   * surface at all (its answer to file maintenance is re-ingest,
@@ -102,25 +102,46 @@ object LakeGenerations {
 
   /** All recorded generations, ascending by number; empty when absent or
     * unparseable (streams then degrade to the loud rewrite error —
-    * strictly safe, never wrong).
+    * strictly safe, never wrong). Versions are tried NEWEST-FIRST and a
+    * torn newest file (a publisher crashed mid-write — it creates the
+    * final name exclusively and writes into it) falls back to the intact
+    * previous version, so no crash point loses the whole log.
     */
   def read(fs: FileSystem, dir: Path): Seq[Gen] = {
+    val candidates = versions(fs, dir).reverse :+ new Path(dir, FileName)
+    candidates.iterator.map(readOne(fs, _)).collectFirst { case Some(g) => g }
+      .getOrElse(Seq.empty)
+  }
+
+  /** One file's records, or None when absent/torn/unparseable. The `v1`
+    * count header (versioned files) makes a partially-written file —
+    * even one torn at a line boundary, which would parse as a silently
+    * TRUNCATED history — detectably incomplete. Round-4 legacy files
+    * have no header and parse best-effort.
+    */
+  private def readOne(fs: FileSystem, f: Path): Option[Seq[Gen]] = {
     try {
-      val f = versions(fs, dir).lastOption.getOrElse(new Path(dir, FileName))
-      if (!fs.exists(f)) return Seq.empty
+      if (!fs.exists(f)) return None
       val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
       val in = fs.open(f)
       try in.readFully(0, buf) finally in.close()
-      val text = new String(buf, StandardCharsets.UTF_8)
-      text.split('\n').iterator.filter(_.nonEmpty).map { line =>
+      val lines = new String(buf, StandardCharsets.UTF_8)
+        .split('\n').toVector.filter(_.nonEmpty)
+      val (expect, body) =
+        if (lines.headOption.exists(_.startsWith("v1\t")))
+          (Some(lines.head.split('\t')(1).toInt), lines.tail)
+        else (None, lines)
+      if (expect.exists(_ != body.size)) return None // torn write
+      val gens = body.map { line =>
         val p = line.split('\t')
         require(p.length >= 4, s"bad generation line: $line")
         val nc = p(2).toInt
         val nr = p(3).toInt
         require(p.length == 4 + nc + nr, s"generation line names mismatch: $line")
         Gen(p(0).toLong, p(1), p.slice(4, 4 + nc).toSet, p.drop(4 + nc).toSet)
-      }.toVector.sortBy(_.gen)
-    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      }.sortBy(_.gen)
+      if (gens.isEmpty) None else Some(gens) // a valid log is never empty
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   def currentGen(fs: FileSystem, dir: Path): Long =
@@ -135,9 +156,12 @@ object LakeGenerations {
     * were destroyed.
     */
   def clear(fs: FileSystem, dir: Path): Unit = {
-    versions(fs, dir).foreach(fs.delete(_, false))
-    val legacy = new Path(dir, FileName)
-    if (fs.exists(legacy)) fs.delete(legacy, false)
+    if (!fs.exists(dir)) return
+    // every variant: versioned logs, the legacy unversioned file, and any
+    // torn/orphaned _generations.* residue
+    fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_generations"))
+      .foreach(s => fs.delete(s.getPath, false))
   }
 
   /** Record a new generation (the swap `condemned` -> `replacements`)
@@ -161,17 +185,24 @@ object LakeGenerations {
     val gen = old.lastOption.map(_.gen).getOrElse(0L) + 1
     val all = (old :+ Gen(gen, token, condemned.toSet, replacements.toSet))
       .takeRight(MaxGenerations)
-    val tmp = new Path(dir, s"$FileName.tmp-$token")
-    val out = fs.create(tmp, true)
-    try out.write(all.map(_.line).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // publish by renaming to a FRESH versioned name: no crash point loses
-    // the prior log, no reader window sees an absent log, and a racing
-    // compaction that computed the same version fails the rename loudly
-    // instead of silently overwriting this record
+    // publish by EXCLUSIVE CREATE of the fresh versioned name (no tmp, no
+    // rename): create(overwrite = false) is the atomic claim — a racing
+    // publisher that computed the same version fails the create loudly
+    // instead of silently replacing this record (Hadoop rename overwrites
+    // on the local FS, so an exists()+rename() pair would have a TOCTOU
+    // window). A crash mid-write leaves a torn file that readers DETECT
+    // via the v1 count header and skip in favor of the previous version,
+    // which is only deleted after this write completes.
     val fin = versionedPath(dir, gen)
-    require(!fs.exists(fin) && fs.rename(tmp, fin),
-      s"failed to publish ${fin.getName} under $dir (concurrent compaction?)")
+    val out =
+      try fs.create(fin, false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"failed to publish ${fin.getName} under $dir (concurrent compaction?)", e)
+      }
+    try out.write((s"v1\t${all.size}\n" + all.map(_.line).mkString("", "\n", "\n"))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     // superseded versions + the legacy unversioned file go away
     // best-effort — a failed delete only costs a stale extra file that
     // every reader already ignores in favor of the highest version

@@ -41,7 +41,8 @@ object LakeHealth {
     * container lake of that suffix; anything else readable is treated as
     * a parquet table (with or without lineage).
     */
-  def describe(spark: SparkSession, dir: String): Health = {
+  def describe(spark: SparkSession, dir: String,
+               targetShardBytes: Long = Compact.DefaultTargetShardBytes): Health = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val containerSuffix =
@@ -50,37 +51,46 @@ object LakeHealth {
           fs.listStatus(p).exists(s => s.isFile && s.getPath.getName.endsWith(sf)))
       else None
     containerSuffix match {
-      case Some(sf) => containerLake(spark, dir, sf)
+      case Some(sf) => containerLake(spark, dir, sf, targetShardBytes)
       case None     => parquetTable(spark, dir)
     }
   }
 
-  def containerLake(spark: SparkSession, dir: String, suffix: String): Health = {
+  def containerLake(spark: SparkSession, dir: String, suffix: String,
+                    targetShardBytes: Long = Compact.DefaultTargetShardBytes): Health = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
-    val manifest = GeomedeaManifest.validated(fs, p, files)
+    // ONE manifest GET and ONE log GET serve every field below (an
+    // object-store describe should not fan out metadata reads)
+    val raw = GeomedeaManifest.read(fs, p)
+    val valid = raw.filter(m => m.size == files.size &&
+      files.forall(f => m.get(f.getPath.getName).exists(_.len == f.getLen)))
     val manifestState =
-      if (manifest.isDefined) "valid (one-read planning)"
-      else if (fs.exists(new Path(p, GeomedeaManifest.FileName)))
+      if (valid.isDefined) "valid (one-read planning)"
+      else if (raw.isDefined || fs.exists(new Path(p, GeomedeaManifest.FileName)))
         "STALE (header-read fallback)"
       else "absent (header-read fallback)"
     val log = LakeGenerations.read(fs, p)
     Health(
       layout = if (suffix == ".fgb") "flatgeobuf" else "geomedea",
       files = files.size, bytes = files.map(_.getLen).sum,
-      rows = manifest.map(_.values.map(_.count).sum),
+      rows = valid.map(_.values.map(_.count).sum),
       manifestState = manifestState,
       generation = log.lastOption.map(_.gen).getOrElse(0L),
       history = log.map(g =>
         s"gen ${g.gen}: compacted ${g.condemned.size} -> ${g.replacements.size} " +
           s"shard(s) [${g.token}]"),
-      pendingMaintenance = Compact.hasPendingSwap(fs, p),
-      // what Compact.incremental would rewrite (manifest-only check) —
-      // the "trigger maintenance when the manifest shows overlap" signal
+      pendingMaintenance = Compact.hasPendingSwap(fs, p, log),
+      // what Compact.incremental(targetShardBytes) would rewrite
+      // (manifest-only check) — the "trigger maintenance when the
+      // manifest shows overlap" signal. Pass the operator's actual
+      // shard-size target or the signal misclassifies deliberate small
+      // shards as undersized forever.
       compactionCandidates =
-        Compact.pickCandidates(fs, p, files, Compact.DefaultTargetShardBytes).size.toLong)
+        Compact.pickCandidates(files, targetShardBytes, 4.0,
+          raw.getOrElse(Map.empty), log.lastOption).size.toLong)
   }
 
   def parquetTable(spark: SparkSession, dir: String): Health = {

@@ -289,6 +289,113 @@ class CompactionSpec extends AnyFunSuite {
     assert(h.layout == "parquet" && h.rows.contains(0L) && h.generation == 1)
   }
 
+  test("offset snapshot: mid-swap replacements tracked; a swap landing during the listing retries") {
+    import graft.sources.v2.{GeomedeaOffset, LakeGenerations}
+    val dir = overlappingLake(2)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def listNow() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".geomedea")).map(_.toString).toSeq.sorted
+
+    // MID-SWAP: gen 1 recorded, stage dir still present, replacement not
+    // yet renamed — the offset must track the replacement as pending (a
+    // stream crossing the generation commits it in the same batch) and
+    // drop the condemned name
+    val token = "c00000000000snap1"
+    val stage = new org.apache.hadoop.fs.Path(p, s"${Compact.StagePrefix}$token")
+    fs.mkdirs(stage)
+    val out = fs.create(new org.apache.hadoop.fs.Path(stage, s"part-$token-0.geomedea"), true)
+    out.write(GeomedeaFile.write((0 until 5).map(i => pt(i, i, 500L + i)),
+      compressed = true, pageSizeGoal = 256)); out.close()
+    LakeGenerations.append(fs, p, token,
+      condemned = Seq("append-00.geomedea"), replacements = Seq(s"part-$token-0.geomedea"))
+    val mid = GeomedeaOffset.snapshot(fs, p, () => listNow())
+    val midNames = mid.files.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert(mid.gen == 1L && midNames == Set("append-01.geomedea", s"part-$token-0.geomedea"),
+      s"mid-swap offset must track the pending replacement and drop the condemned: $midNames")
+
+    // SWAP COMPLETING DURING THE LISTING: the lister's own side effect
+    // finishes the swap AND appends generation 2 — snapshot must notice
+    // the log moved under it and retry with the fresh record instead of
+    // pairing gen 1 with a post-gen-2 listing (the next batch would
+    // re-emit the new replacement as fresh data = duplicate rows)
+    var calls = 0
+    val lister = () => {
+      calls += 1
+      if (calls == 1) {
+        Compact.compact(spark, dir, numShards = 1) // finishes swap 1, records gen 2
+      }
+      listNow()
+    }
+    val snap = GeomedeaOffset.snapshot(fs, p, lister)
+    assert(calls >= 2, "snapshot must re-list after the log moved under it")
+    assert(snap.gen == 2L, s"offset must carry the generation the listing belongs to: $snap")
+    val liveNames = listNow().map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert(snap.files.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet == liveNames)
+  }
+
+  test("generation log: torn newest version falls back; racing same-gen publish fails loudly") {
+    import graft.sources.v2.LakeGenerations
+    val dir = java.nio.file.Files.createTempDirectory("gm_torn").toString
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    LakeGenerations.append(fs, p, "c0000000000000aa1", Seq("a.geomedea"), Seq("b.geomedea"))
+    val good = LakeGenerations.read(fs, p)
+    assert(good.map(_.gen) == Seq(1L))
+    // a publisher that crashed mid-write leaves a TORN newer version: the
+    // v1 count header says 2 records but only 1 follows — readers must
+    // skip it and serve the intact previous version (losing the whole log
+    // would kill every tailing stream spuriously)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, f"_generations.v${2L}%019d.tsv"),
+      ("v1\t2\n" + good.head.line + "\n").getBytes("UTF-8"))
+    assert(LakeGenerations.read(fs, p) == good,
+      "a torn newest version must fall back to the intact previous one")
+    // the torn file also claims version 2: a publisher computing gen 2
+    // must fail LOUDLY on the exclusive create, not silently replace it
+    val e = intercept[IllegalStateException] {
+      LakeGenerations.append(fs, p, "c0000000000000aa2", Seq("b.geomedea"), Seq("c.geomedea"))
+    }
+    assert(e.getMessage.contains("concurrent compaction"))
+  }
+
+  test("incremental compaction never churns: just-rewritten shards are not re-picked") {
+    import spark.implicits._
+    // UNIFORM data (one cluster): replacements of a globally-spread
+    // subset still cover large boxes, so the area criterion alone would
+    // re-pick them on every call and a polling scheduler would rewrite
+    // the same bytes forever — the last generation's replacements are
+    // excluded until newer work arrives
+    val dir = java.nio.file.Files.createTempDirectory("gm_churn").toString
+    def uniform(ids: Range) = ids.map { i =>
+      (graft.geom.Wkb.write(graft.geom.Wkb.Pt(
+        ((i * 7 % 100) / 10.0 * 1e7).toInt, ((i * 13 % 100) / 10.0 * 1e7).toInt)),
+        Seq(graft.sources.GeoJsonIngest.toCell("id",
+          graft.codec.FeatureCodec.PInt64(i.toLong))))
+    }.toDF("wkb", "props")
+    uniform(0 until 240).repartition(4).write.format("geomedea").mode("append").save(dir)
+    Compact.compact(spark, dir, numShards = 12)
+    for (a <- 0 until 3)
+      uniform((1000 + a * 100) until (1000 + a * 100 + 20))
+        .repartition(1).write.format("geomedea").mode("append").save(dir)
+    def count() = spark.read.format("geomedea").load(dir).count()
+    val rows = count()
+    assert(Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1) == 3)
+    assert(count() == rows)
+    // the 2 replacements each cover ~half the lake: area-wise they WOULD
+    // be candidates again — prove the exclusion is what stops the churn
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val shards = fs.listStatus(p).toSeq.filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".geomedea"))
+    val manifest = graft.sources.v2.GeomedeaManifest.read(fs, p).getOrElse(Map.empty)
+    assert(Compact.pickCandidates(shards, 1L, 4.0, manifest, lastGen = None).size >= 2,
+      "without the exclusion the replacements would be re-picked (churn)")
+    assert(Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1) == 0,
+      "repeated incremental calls must converge to a no-op")
+    assert(count() == rows)
+  }
+
   test("incremental compaction rewrites only the overspread appends and converges") {
     import spark.implicits._
     // clustered baseline: 4 shards, each owning a contiguous Hilbert
