@@ -171,6 +171,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // near-dup CLUSTERING: connected components over the q31 pair set
+    // (min-label propagation + pointer jumping, O(log diameter) rounds)
+    // with the canonical pick — pairwise dup evidence turned into
+    // keep/drop decisions. Oracled against a DuckDB recursive-CTE
+    // transitive closure over the identical pair SQL.
+    "q50_dedup_cluster" -> ((s, dir) => {
+      val corpus = Dedup.corpusWithDups(s, dir)
+      Dedup.cluster(Dedup.ngramJaccard(corpus, 6000), corpus)
+        .select(col("doc_id"), col("cluster_id"),
+          col("is_canonical").cast("long").as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // table maintenance: a RANDOMLY-partitioned multi-shard lake (every
     // shard extent ~= global, the worst case appends converge to) is
     // re-clustered by Compact.compact (global Hilbert-desc rewrite via
@@ -639,6 +652,27 @@ object SparkEntry {
       s"""WITH $P SELECT CAST(min(lng) AS BIGINT) AS ext_min_lng, CAST(min(lat) AS BIGINT) AS ext_min_lat,
          |CAST(max(lng) AS BIGINT) AS ext_max_lng, CAST(max(lat) AS BIGINT) AS ext_max_lat,
          |count(*) AS n FROM pts""".stripMargin,
+
+    // the q31 pair set -> symmetric edges -> recursive transitive
+    // closure -> per-vertex component min == Spark's converged min-label
+    // propagation (the fixpoint is algorithm-independent); singletons
+    // keep their own id via the left join over the full corpus
+    "q50_dedup_cluster" ->
+      s"""WITH RECURSIVE $C, $S,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |prs AS (SELECT cm.id_a, cm.id_b
+         |        FROM cm JOIN sz sa ON sa.doc_id = cm.id_a JOIN sz sb ON sb.doc_id = cm.id_b
+         |        WHERE CAST(floor(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) * 10000) AS BIGINT) >= 6000),
+         |eg AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+         |reach AS (SELECT a, b FROM eg UNION SELECT r.a, e.b FROM reach r JOIN eg e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+         |SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+         |       CAST(least(c.doc_id, coalesce(comp.mn, c.doc_id)) AS BIGINT) AS cluster_id,
+         |       CAST(c.doc_id = least(c.doc_id, coalesce(comp.mn, c.doc_id)) AS BIGINT) AS is_canonical
+         |FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // identical oracle to q07: the distributed fallback must return the
     // exact same neighbors the broadcast path does

@@ -266,6 +266,52 @@ object Dedup {
   }
 
   /** Brute-force hamming join (test oracle for [[simhashPairs]]). */
+  /** Near-dup CLUSTERING: connected components over candidate pairs
+    * (from [[ngramJaccard]], [[minhashLsh]] or [[simhashPairs]]) plus a
+    * canonical pick — the pipeline stage that turns pairwise dup evidence
+    * into "keep this doc, drop those". Iterative min-label propagation
+    * with POINTER JUMPING (each round a vertex also adopts its label's
+    * own label), so convergence is O(log diameter) distributed joins
+    * instead of O(diameter) — dup chains (A~B~C~... from near-dup drift)
+    * do not serialize the job. Each round is two shuffles on the vertex
+    * id; intermediates are `localCheckpoint`ed (lineage cut,
+    * ContextCleaner-managed) so the loop's plan never grows. Singletons
+    * keep their own id; `is_canonical` marks the component minimum — the
+    * deterministic survivor regardless of algorithm or partitioning.
+    */
+  def cluster(pairs: DataFrame, corpus: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val half = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+    val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = corpus.select(col("doc_id").cast("long").as("v"))
+      .distinct().withColumn("label", col("v")).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged) {
+      require(round < maxRounds, s"cluster did not converge in $maxRounds rounds " +
+        "(component diameter over 2^rounds — raise maxRounds)")
+      val nbrMin = edges
+        .join(labels.select(col("v").as("b"), col("label").as("nl")), "b")
+        .groupBy("a").agg(min("nl").as("nmin"))
+        .withColumnRenamed("a", "v")
+      val stepped = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("v").as("lv"), col("label").as("ll")).as("p"),
+          col("x.label") === col("lv"), "left")
+        .select(col("x.v").as("v"),
+          least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
+        .localCheckpoint(true)
+      converged = jumped.join(labels.withColumnRenamed("label", "old"), "v")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = jumped
+      round += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"),
+      (col("v") === col("label")).as("is_canonical"))
+  }
+
   def simhashBrute(corpus: DataFrame, maxHamming: Int): DataFrame = {
     val sims = corpus.select(col("doc_id"), gmSimhash(split(col("text"), " ")).as("sim"))
     val a = sims.as("a"); val b = sims.as("b")

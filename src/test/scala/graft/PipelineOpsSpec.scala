@@ -128,6 +128,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh.size.toDouble / truth.size >= 0.95)
   }
 
+  test("cluster: components equal brute force; long chains converge via pointer jumping") {
+    import spark.implicits._
+    // a 24-node CHAIN (diameter 23 — naive neighbor-min alone would need
+    // 23 rounds), two triangles sharing a vertex, and singletons
+    val edges = ((0L until 23L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L), (102L, 103L), (103L, 104L), (104L, 102L)))
+    val pairsDf = edges.toDF("id_a", "id_b")
+    val vertices = ((0L to 23L) ++ (100L to 104L) ++ Seq(900L, 901L))
+    val corpusDf = vertices.toDF("doc_id")
+    val got = Dedup.cluster(pairsDf, corpusDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // brute: union-find on the driver
+    val parent = scala.collection.mutable.Map(vertices.map(v => v -> v): _*)
+    def find(v: Long): Long = if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val mins = vertices.groupBy(find).map { case (_, vs) => vs.min -> vs }.toMap
+    val expect = mins.flatMap { case (mn, vs) => vs.map(v => (v, mn, v == mn)) }.toSet
+    assert(got == expect)
+    // chain cluster is one component rooted at 0; triangles merge to 100
+    assert(got.count(_._3) == mins.size)
+    assert(got.filter(_._1 <= 23L).forall(_._2 == 0L))
+    assert(got.filter(t => t._1 >= 100L && t._1 <= 104L).forall(_._2 == 100L))
+  }
+
   test("simhash chunk-blocked pairs equal brute-force hamming join") {
     val blocked = Dedup.simhashPairs(corpus, 3).select("id_a", "id_b", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
