@@ -175,6 +175,32 @@ class CompactionSpec extends AnyFunSuite {
     assert(ids() == before)
     assert(graft.sources.v2.FgbTable.scanFiles(dir, Some(east)).size < 4)
     assert(Compact.compact(spark, dir, numShards = 2, format = "geomedea") == 0) // wrong-suffix no-op
+
+    // incremental maintenance serves .fgb lakes through the same picker:
+    // a global-spread v2-writer append is the only candidate set; the
+    // compacted shards stay byte-untouched and repeated calls converge
+    import spark.implicits._
+    def shardNames() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".fgb")).toSet
+    val clustered = shardNames()
+    for (a <- 0 until 2)
+      (0 until 20).map { i =>
+        val id = (1000 + a * 100 + i).toLong
+        val lng = (if (i % 2 == 0) i % 10 else 100 + i % 10) * 1e7
+        (graft.geom.Wkb.write(graft.geom.Wkb.Pt(lng.toInt, (i / 2 * 1e7).toInt)),
+          Seq(graft.sources.GeoJsonIngest.toCell("doc",
+            graft.codec.FeatureCodec.PString(s"doc-$id")),
+            graft.sources.GeoJsonIngest.toCell("id",
+              graft.codec.FeatureCodec.PInt64(id))))
+      }.toDF("wkb", "props")
+        .repartition(1).write.format("flatgeobuf").mode("append").save(dir)
+    val withAppends = ids()
+    assert(Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1,
+      format = "flatgeobuf") == 2)
+    assert(clustered.subsetOf(shardNames()))
+    assert(ids() == withAppends)
+    assert(Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1,
+      format = "flatgeobuf") == 0)
   }
 
   test("sliced compaction: bounded planned set per swap, rows identical, pruning improves") {
