@@ -283,7 +283,12 @@ object Dedup {
     val half = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
     val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    var labels = corpus.select(col("doc_id").cast("long").as("v"))
+    // iterate ONLY over pair-touched vertices — near-dup pairs are a tiny
+    // fraction of the corpus, and shuffling every document through every
+    // propagation round would make the loop O(rounds x corpus) instead of
+    // O(rounds x dup-vertices). Untouched docs join in once at the end as
+    // their own singletons.
+    var labels = edges.select(col("a").as("v"))
       .distinct().withColumn("label", col("v")).localCheckpoint(true)
     var round = 0
     var converged = false
@@ -308,8 +313,11 @@ object Dedup {
       labels = jumped
       round += 1
     }
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"),
-      (col("v") === col("label")).as("is_canonical"))
+    corpus.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        (col("doc_id") === coalesce(col("label"), col("doc_id"))).as("is_canonical"))
   }
 
   def simhashBrute(corpus: DataFrame, maxHamming: Int): DataFrame = {
