@@ -148,12 +148,13 @@ object Compact {
                             compressed: Boolean, targetShardBytes: Long,
                             format: String, suffix: String,
                             maxShardsPerCall: Int,
-                            // by-name: read (or reuse) only when slicing
-                            manifestForSlicing: => Map[String, GeomedeaManifest.Entry] = null): Unit = {
+                            // reuse the caller's manifest read when it has one;
+                            // only consulted when slicing actually happens
+                            manifestForSlicing: Option[Map[String, GeomedeaManifest.Entry]] = None): Unit = {
     val totalBytes = math.max(1L, picked.map(_.getLen).sum)
     val slices: Seq[Seq[FileStatus]] =
       if (maxShardsPerCall > 0 && picked.size > maxShardsPerCall) {
-        val m = Option(manifestForSlicing)
+        val m = manifestForSlicing
           .getOrElse(GeomedeaManifest.read(fs, p).getOrElse(Map.empty))
         sliceSpatially(picked, maxShardsPerCall, m)
       } else Seq(picked)
@@ -225,7 +226,7 @@ object Compact {
       manifest, log.lastOption)
     if (picked.size < 2) return 0
     rewriteSlices(spark, p, fs, picked, numShards, compressed, targetShardBytes,
-      format, suffix, maxShardsPerCall, manifest)
+      format, suffix, maxShardsPerCall, Some(manifest))
     picked.size
   }
 
@@ -233,14 +234,16 @@ object Compact {
     * health: a scheduler triggers maintenance when this is non-empty
     * "when the manifest shows extent overlap", without reading data).
     *
-    * Shards named as the LAST generation's replacements are never
-    * candidates: they just came out of a rewrite, so rewriting them again
-    * (alone) cannot improve their layout — without this exclusion a
-    * globally-spread subset whose replacement ranges still cover large
-    * boxes would be re-picked on every call and a polling scheduler would
-    * rewrite the same bytes forever. They become eligible again once a
-    * NEWER generation exists (i.e. once fresh appends brought real work),
-    * so their layout still converges over time instead of churning.
+    * Shards named as the LAST generation's replacements are candidates
+    * only when at least one FRESH candidate exists alongside them:
+    * rewriting just-rewritten shards ALONE cannot improve their layout —
+    * without this rule a globally-spread subset whose replacement ranges
+    * still cover large boxes would be re-picked on every call and a
+    * polling scheduler would rewrite the same bytes forever — but when
+    * fresh work qualifies (even a single new append), folding the
+    * semi-clustered replacements into its rewrite both converges their
+    * layout and keeps a one-append-per-interval lake from starving
+    * behind the two-candidate minimum.
     */
   private[graft] def pickCandidates(shards: Seq[FileStatus],
                                     targetShardBytes: Long,
@@ -256,14 +259,15 @@ object Compact {
     val known = shards.flatMap(extentOf)
     val union = known.foldLeft(Envelope.empty)(_ union _)
     val ideal = if (known.isEmpty) 0.0 else area(union) / shards.size
-    shards.filter { s =>
-      !justRewritten(s.getPath.getName) &&
-        (s.getLen < targetShardBytes / 4 ||
-          (extentOf(s) match {
-            case Some(e) => ideal > 0.0 && area(e) > spreadFactor * ideal
-            case None    => true // undescribed: rewrite once, then it's known
-          }))
+    val qualifying = shards.filter { s =>
+      s.getLen < targetShardBytes / 4 ||
+        (extentOf(s) match {
+          case Some(e) => ideal > 0.0 && area(e) > spreadFactor * ideal
+          case None    => true // undescribed: rewrite once, then it's known
+        })
     }
+    if (qualifying.exists(s => !justRewritten(s.getPath.getName))) qualifying
+    else Seq.empty
   }
 
   /** Spatially-coherent bounded slices: shards ordered by the Hilbert

@@ -265,7 +265,6 @@ object Dedup {
     cross.unionByName(within)
   }
 
-  /** Brute-force hamming join (test oracle for [[simhashPairs]]). */
   /** Near-dup CLUSTERING: connected components over candidate pairs
     * (from [[ngramJaccard]], [[minhashLsh]] or [[simhashPairs]]) plus a
     * canonical pick — the pipeline stage that turns pairwise dup evidence
@@ -320,6 +319,7 @@ object Dedup {
         (col("doc_id") === coalesce(col("label"), col("doc_id"))).as("is_canonical"))
   }
 
+  /** Brute-force hamming join (test oracle for [[simhashPairs]]). */
   def simhashBrute(corpus: DataFrame, maxHamming: Int): DataFrame = {
     val sims = corpus.select(col("doc_id"), gmSimhash(split(col("text"), " ")).as("sim"))
     val a = sims.as("a"); val b = sims.as("b")

@@ -69,7 +69,15 @@ object GeomedeaManifest {
     */
   def validated(fs: FileSystem, dir: Path,
                 files: Seq[org.apache.hadoop.fs.FileStatus]): Option[Map[String, Entry]] =
-    read(fs, dir).filter(m => m.size == files.size &&
+    validated(read(fs, dir), files)
+
+  /** Overload for callers that already hold the raw read (LakeHealth —
+    * one GET serves validity and candidate picking). ONE definition of
+    * manifest validity: exact name + byte-length coverage of the listing.
+    */
+  def validated(raw: Option[Map[String, Entry]],
+                files: Seq[org.apache.hadoop.fs.FileStatus]): Option[Map[String, Entry]] =
+    raw.filter(m => m.size == files.size &&
       files.forall(f => m.get(f.getPath.getName).exists(_.len == f.getLen)))
 
   /** Commit-side refresh shared by both container writers: entries for

@@ -315,13 +315,17 @@ object GeomedeaOffset {
     var attempt = 0
     while (true) {
       val log = LakeGenerations.read(fs, dir)
-      if (log.isEmpty) return GeomedeaOffset(0L, listLive())
-      val last = log.last
-      val stageExists =
-        fs.exists(new Path(dir, s"${graft.jobs.Compact.StagePrefix}${last.token}"))
+      // the empty-log case takes the SAME list-then-recheck path: a
+      // lake's FIRST compaction landing mid-snapshot would otherwise
+      // pair a gen-0 offset with a post-swap listing and re-emit the
+      // replacement as fresh data
+      val stageExists = log.lastOption.exists(g =>
+        fs.exists(new Path(dir, s"${graft.jobs.Compact.StagePrefix}${g.token}")))
       val live = listLive()
       val logAfter = LakeGenerations.read(fs, dir)
-      if (logAfter == log || attempt >= 2) {
+      if (logAfter == log) {
+        if (log.isEmpty) return GeomedeaOffset(0L, live)
+        val last = log.last
         val condemned = log.iterator.flatMap(_.condemned).toSet
         val liveNames = live.iterator.map(nameOf).toSet
         val pendingRepl =
@@ -333,6 +337,16 @@ object GeomedeaOffset {
           live.filterNot(f => condemned(nameOf(f))) ++ pendingRepl)
       }
       attempt += 1
+      // a log that moves under FIVE consecutive listings (sliced
+      // compaction publishes one generation per slice, so short bursts
+      // are normal) is maintenance running faster than planning — fail
+      // LOUDLY rather than pair a stale record with a fresh listing,
+      // which would commit the new replacements at the old generation
+      // and silently duplicate the condemned shards' rows next batch
+      require(attempt < 5,
+        s"lake $dir is being rewritten continuously (generation log moved " +
+          s"under $attempt consecutive snapshot listings); pause maintenance " +
+          "or retry the stream when compaction settles")
     }
     sys.error("unreachable")
   }

@@ -185,21 +185,45 @@ object LakeGenerations {
     val gen = old.lastOption.map(_.gen).getOrElse(0L) + 1
     val all = (old :+ Gen(gen, token, condemned.toSet, replacements.toSet))
       .takeRight(MaxGenerations)
-    // publish by EXCLUSIVE CREATE of the fresh versioned name (no tmp, no
-    // rename): create(overwrite = false) is the atomic claim — a racing
-    // publisher that computed the same version fails the create loudly
-    // instead of silently replacing this record (Hadoop rename overwrites
-    // on the local FS, so an exists()+rename() pair would have a TOCTOU
-    // window). A crash mid-write leaves a torn file that readers DETECT
-    // via the v1 count header and skip in favor of the previous version,
-    // which is only deleted after this write completes.
+    publishAt(fs, dir, gen, all)
+    gen
+  }
+
+  /** Publish `all` at version `gen` by EXCLUSIVE CREATE of the fresh
+    * versioned name (no tmp, no rename): create(overwrite = false) is
+    * the atomic claim — a racing publisher that computed the same
+    * version fails the create loudly instead of silently replacing this
+    * record (Hadoop rename overwrites on the local FS, so an
+    * exists()+rename() pair would have a TOCTOU window). A crash
+    * mid-write leaves a torn file that readers DETECT via the v1 count
+    * header and skip in favor of the previous version, which is only
+    * deleted after this write completes. `private[graft]` so the spec
+    * can drive the same-version collision directly.
+    */
+  private[graft] def publishAt(fs: FileSystem, dir: Path, gen: Long,
+                               all: Seq[Gen]): Unit = {
     val fin = versionedPath(dir, gen)
-    val out =
+    def claim(): org.apache.hadoop.fs.FSDataOutputStream =
       try fs.create(fin, false)
       catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"failed to publish ${fin.getName} under $dir (concurrent compaction?)", e)
+        case e: java.io.IOException =>
+          // the version may be claimed by a TORN file — a publisher that
+          // crashed mid-write (readers already skip it via the count
+          // header). Reclaim it once; a file that PARSES is a live
+          // concurrent publisher's record and stays a loud error
+          // (maintenance is single-writer by contract, so deleting an
+          // unparseable claimant cannot race a legitimate writer).
+          if (fs.exists(fin) && readOne(fs, fin).isEmpty) {
+            fs.delete(fin, false)
+            try fs.create(fin, false)
+            catch {
+              case e2: java.io.IOException => throw new IllegalStateException(
+                s"failed to publish ${fin.getName} under $dir (concurrent compaction?)", e2)
+            }
+          } else throw new IllegalStateException(
+            s"failed to publish ${fin.getName} under $dir (concurrent compaction?)", e)
       }
+    val out = claim()
     try out.write((s"v1\t${all.size}\n" + all.map(_.line).mkString("", "\n", "\n"))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -211,6 +235,5 @@ object LakeGenerations {
       val legacy = new Path(dir, FileName)
       if (fs.exists(legacy)) fs.delete(legacy, false)
     } catch { case scala.util.control.NonFatal(_) => () }
-    gen
   }
 }

@@ -65,8 +65,7 @@ object LakeHealth {
     // ONE manifest GET and ONE log GET serve every field below (an
     // object-store describe should not fan out metadata reads)
     val raw = GeomedeaManifest.read(fs, p)
-    val valid = raw.filter(m => m.size == files.size &&
-      files.forall(f => m.get(f.getPath.getName).exists(_.len == f.getLen)))
+    val valid = GeomedeaManifest.validated(raw, files)
     val manifestState =
       if (valid.isDefined) "valid (one-read planning)"
       else if (raw.isDefined || fs.exists(new Path(p, GeomedeaManifest.FileName)))

@@ -358,6 +358,22 @@ class CompactionSpec extends AnyFunSuite {
     assert(snap.gen == 2L, s"offset must carry the generation the listing belongs to: $snap")
     val liveNames = listNow().map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
     assert(snap.files.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet == liveNames)
+
+    // the EMPTY-log path takes the same protection: a lake's FIRST
+    // compaction landing during the listing must not pair a gen-0 offset
+    // with the post-swap listing (the replacement would replay as fresh
+    // data next batch — every condemned row duplicated)
+    val dir2 = overlappingLake(2)
+    val p2 = new org.apache.hadoop.fs.Path(dir2)
+    var calls2 = 0
+    val snap2 = GeomedeaOffset.snapshot(fs, p2, () => {
+      calls2 += 1
+      if (calls2 == 1) Compact.compact(spark, dir2, numShards = 1)
+      new java.io.File(dir2).listFiles()
+        .filter(_.getName.endsWith(".geomedea")).map(_.toString).toSeq.sorted
+    })
+    assert(calls2 >= 2 && snap2.gen == 1L,
+      s"first-compaction race must retry to the recorded generation: $snap2 after $calls2 listings")
   }
 
   test("generation log: torn newest version falls back; racing same-gen publish fails loudly") {
@@ -377,10 +393,22 @@ class CompactionSpec extends AnyFunSuite {
       ("v1\t2\n" + good.head.line + "\n").getBytes("UTF-8"))
     assert(LakeGenerations.read(fs, p) == good,
       "a torn newest version must fall back to the intact previous one")
-    // the torn file also claims version 2: a publisher computing gen 2
-    // must fail LOUDLY on the exclusive create, not silently replace it
+    // the torn file claims version 2, but a TORN claimant is a crashed
+    // publisher's residue: the next publish RECLAIMS it (otherwise one
+    // crash mid-write would wedge every future compaction of the lake
+    // behind a misleading 'concurrent compaction' error, forever)
+    val g2 = LakeGenerations.append(fs, p, "c0000000000000aa2",
+      Seq("b.geomedea"), Seq("c.geomedea"))
+    assert(g2 == 2L && LakeGenerations.read(fs, p).map(_.gen) == Seq(1L, 2L))
+    // a PARSEABLE claimant is a live concurrent publisher's complete
+    // record and must stay a loud failure — records are never silently
+    // replaced. Emulate the race: two publishers computed gen 3; the
+    // second arrives after the first's complete file exists.
+    LakeGenerations.publishAt(fs, p, 3L,
+      Seq(LakeGenerations.Gen(3L, "tokR", Set("x.geomedea"), Set("y.geomedea"))))
     val e = intercept[IllegalStateException] {
-      LakeGenerations.append(fs, p, "c0000000000000aa2", Seq("b.geomedea"), Seq("c.geomedea"))
+      LakeGenerations.publishAt(fs, p, 3L,
+        Seq(LakeGenerations.Gen(3L, "tokZ", Set("b.geomedea"), Set("z.geomedea"))))
     }
     assert(e.getMessage.contains("concurrent compaction"))
   }
@@ -420,6 +448,15 @@ class CompactionSpec extends AnyFunSuite {
     assert(Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1) == 0,
       "repeated incremental calls must converge to a no-op")
     assert(count() == rows)
+    // ...but ONE fresh overspread append lifts the exclusion: the
+    // semi-clustered replacements fold into its rewrite (a lake receiving
+    // one shard per maintenance interval must not starve behind the
+    // two-candidate minimum while the appends erode pruning)
+    uniform(2000 until 2020).repartition(1)
+      .write.format("geomedea").mode("append").save(dir)
+    val folded = Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1)
+    assert(folded == 3, s"1 fresh append + 2 just-rewritten shards, got $folded")
+    assert(count() == rows + 20)
   }
 
   test("incremental compaction rewrites only the overspread appends and converges") {
