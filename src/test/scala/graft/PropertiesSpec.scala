@@ -228,6 +228,22 @@ object PropertiesSpec extends Properties("graft") {
       Prop(multiset(fgot) == multiset(fbrute)) :| "fgb rows equal"
   }
 
+  property("generation-log reader never throws on arbitrary bytes (falls back per version)") =
+    Prop.forAll(Gen.choose(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))) { bs: List[Byte] =>
+      // the log is correctness-bearing but its READER must degrade, not
+      // throw: arbitrary/torn content in the newest version falls back to
+      // older versions (here: none), i.e. an empty log -> streams hit the
+      // loud rewrite error path instead of an exception in planning
+      val dir = java.nio.file.Files.createTempDirectory("gm_gen_fuzz")
+      java.nio.file.Files.write(
+        dir.resolve(f"_generations.v${1L}%019d.tsv"), bs.toArray)
+      val p = new org.apache.hadoop.fs.Path(dir.toString)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val r = graft.sources.v2.LakeGenerations.read(fs, p)
+      r.isEmpty || r.nonEmpty // reached without throwing
+    }
+
   property("manifest parser never throws on arbitrary bytes (None/Some, planner falls back)") =
     Prop.forAll(Gen.choose(0, 400).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))) { bs: List[Byte] =>
