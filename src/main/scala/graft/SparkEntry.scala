@@ -171,6 +171,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // RETENTION through the swap protocol: the even-id docs land in their
+    // own shards, get retired (a generation with no replacements — the
+    // TTL path tailing streams survive), and the lake reads back exactly
+    // the odd-id rows. Oracled as a plain WHERE over the same parquet.
+    "q51_retired_read" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_ret").toString + "/shards"
+      def framed(even: Boolean) = geo(s, dir)
+        .where((substring(col("doc_id"), 5, 16).cast("long") % 2 === 0) === even)
+        .select(col("wkb"), col("doc_id")).as[(Array[Byte], String)]
+        .map { case (wkb, id) => (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
+          "doc", graft.codec.FeatureCodec.PString(id)))) }
+        .toDF("wkb", "props")
+      framed(even = true).repartition(2)
+        .write.format("geomedea").mode("append").save(out)
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val evenShards = fs.listStatus(p)
+        .filter(_.getPath.getName.endsWith(".geomedea")).map(_.getPath.getName).toSet
+      framed(even = false).repartition(2)
+        .write.format("geomedea").mode("append").save(out)
+      graft.jobs.Compact.retire(s, out, st => evenShards(st.getPath.getName))
+      s.read.format("geomedea").load(out)
+        .select(element_at(col("prop_vals"), 1).as("doc_id"),
+          col("min_lng").cast("long").as("lng"), col("min_lat").cast("long").as("lat"))
+        .orderBy("doc_id")
+    }),
+
     // near-dup CLUSTERING: connected components over the q31 pair set
     // (min-label propagation + pointer jumping, O(log diameter) rounds)
     // with the canonical pick — pairwise dup evidence turned into
@@ -652,6 +680,11 @@ object SparkEntry {
       s"""WITH $P SELECT CAST(min(lng) AS BIGINT) AS ext_min_lng, CAST(min(lat) AS BIGINT) AS ext_min_lat,
          |CAST(max(lng) AS BIGINT) AS ext_max_lng, CAST(max(lat) AS BIGINT) AS ext_max_lat,
          |count(*) AS n FROM pts""".stripMargin,
+
+    "q51_retired_read" ->
+      s"""WITH $P SELECT doc_id, lng, lat FROM pts
+         |WHERE CAST(substr(doc_id, 5) AS BIGINT) % 2 = 1
+         |ORDER BY doc_id""".stripMargin,
 
     // the q31 pair set -> symmetric edges -> recursive transitive
     // closure -> per-vertex component min == Spark's converged min-label

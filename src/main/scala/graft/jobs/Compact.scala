@@ -230,6 +230,42 @@ object Compact {
     picked.size
   }
 
+  /** RETENTION through the swap protocol: delete the shards `condemn`
+    * selects as a recorded generation with NO replacements, so a tailing
+    * stream that already consumed them resumes exactly-once across the
+    * deletion (the record explains the missing names) instead of dying
+    * with the rewrite error — out-of-band deletion's documented price.
+    * A stream that had NOT yet consumed a retired shard still fails
+    * loudly naming it: its rows are genuinely gone, and silence would be
+    * data loss. Returns the number of shards retired.
+    *
+    * At 100 TB this is the TTL/compliance path: predicate on name/mtime/
+    * size from the listing (no data read), one log append, N deletes,
+    * one manifest rewrite.
+    */
+  def retire(spark: SparkSession, dir: String,
+             condemn: FileStatus => Boolean,
+             format: String = "geomedea"): Int = {
+    val suffix = suffixFor(format)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return 0
+    finishPendingSwap(fs, p)
+    val victims = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
+      .filter(condemn)
+    if (victims.isEmpty) return 0
+    val token = "r" + java.util.UUID.randomUUID().toString.replace("-", "").take(15)
+    val names = victims.map(_.getPath.getName)
+    // same journal-then-apply shape as a compaction swap (completeSwap is
+    // a no-op on the absent stage dir and idempotent on re-run, so a
+    // crash between the record and the deletes is finished by the next
+    // maintenance call)
+    LakeGenerations.append(fs, p, token, names, Seq.empty)
+    completeSwap(fs, p, token, names.toSet, Set.empty)
+    victims.size
+  }
+
   /** The shards [[incremental]] would rewrite (also surfaced as lake
     * health: a scheduler triggers maintenance when this is non-empty
     * "when the manifest shows extent overlap", without reading data).

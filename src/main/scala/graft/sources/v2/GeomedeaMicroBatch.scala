@@ -385,11 +385,18 @@ object GeomedeaOffset {
     applied.foreach { g =>
       val notConsumed = g.condemned.filterNot(n => consumed(n) || appliedRepl(n))
       if (notConsumed.nonEmpty) throw new IllegalStateException(
-        s"lake generation ${g.gen} under $path compacted ${notConsumed.size} shard(s) " +
-          s"this stream had not yet consumed (e.g. ${notConsumed.head}): their rows now " +
-          "live only inside replacement shards mixed with already-emitted rows, so " +
-          "exactly-once resume is impossible. Compact after tailing streams catch up, " +
-          "or restart the stream with a FRESH checkpoint over the compacted lake.")
+        if (g.replacements.isEmpty)
+          s"lake generation ${g.gen} under $path RETIRED ${notConsumed.size} shard(s) " +
+            s"this stream had not yet consumed (e.g. ${notConsumed.head}): their rows " +
+            "were deleted by retention before emission — rows this stream can never " +
+            "deliver. Retire only after tailing streams catch up, or restart with a " +
+            "FRESH checkpoint over the current lake (accepting the loss)."
+        else
+          s"lake generation ${g.gen} under $path compacted ${notConsumed.size} shard(s) " +
+            s"this stream had not yet consumed (e.g. ${notConsumed.head}): their rows now " +
+            "live only inside replacement shards mixed with already-emitted rows, so " +
+            "exactly-once resume is impossible. Compact after tailing streams catch up, " +
+            "or restart the stream with a FRESH checkpoint over the compacted lake.")
       appliedRepl ++= g.replacements
     }
     val liveNames = live.iterator.map(nameOf).toSet

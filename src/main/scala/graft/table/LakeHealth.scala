@@ -79,8 +79,11 @@ object LakeHealth {
       manifestState = manifestState,
       generation = log.lastOption.map(_.gen).getOrElse(0L),
       history = log.map(g =>
-        s"gen ${g.gen}: compacted ${g.condemned.size} -> ${g.replacements.size} " +
-          s"shard(s) [${g.token}]"),
+        if (g.replacements.isEmpty)
+          s"gen ${g.gen}: retired ${g.condemned.size} shard(s) [${g.token}]"
+        else
+          s"gen ${g.gen}: compacted ${g.condemned.size} -> ${g.replacements.size} " +
+            s"shard(s) [${g.token}]"),
       pendingMaintenance = Compact.hasPendingSwap(fs, p, log),
       // what Compact.incremental(targetShardBytes) would rewrite
       // (manifest-only check) — the "trigger maintenance when the

@@ -266,6 +266,45 @@ class StreamAndAggSpec extends AnyFunSuite {
     assert(text.contains("\"gen\":2"), s"offset must carry the lake generation: $text")
   }
 
+  test("caught-up stream RESUMES exactly-once across retirement; behind streams fail loudly") {
+    // retention used to be out-of-band deletion = the rewrite error for
+    // every tailing stream; Compact.retire records the deletion as a
+    // generation with no replacements, so a stream that consumed the
+    // retired shards keeps going
+    val (lake, writeBatch, run, got) = compactionFixture()
+    writeBatch(0 until 40)
+    run()
+    assert(got.asScala.sum == 40L)
+    val victims = new java.io.File(lake).listFiles()
+      .filter(_.getName.endsWith(".geomedea")).map(_.getName).sorted.take(1).toSet
+    assert(graft.jobs.Compact.retire(spark, lake,
+      s => victims(s.getPath.getName)) == 1)
+    run() // crosses the retire generation: no error, nothing re-emitted
+    assert(got.asScala.sum == 40L, s"stream re-emitted/err'd across retirement: $got")
+    writeBatch(100 until 110)
+    run()
+    assert(got.asScala.sum == 50L, s"post-retirement append lost/duplicated: $got")
+
+    // a stream that had NOT consumed the retired shard must still fail
+    // loudly — its rows are gone, silence would be data loss
+    val (lake2, writeBatch2, run2, got2) = compactionFixture()
+    writeBatch2(0 until 20)
+    run2()
+    def names2() = new java.io.File(lake2).listFiles()
+      .filter(_.getName.endsWith(".geomedea")).map(_.getName).toSet
+    val consumed = names2()
+    writeBatch2(20 until 40) // NOT yet consumed
+    val fresh = (names2() -- consumed).take(1)
+    assert(graft.jobs.Compact.retire(spark, lake2,
+      s => fresh(s.getPath.getName)) == 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run2())
+    assert(causes(e).exists(c => c.getMessage != null &&
+      (c.getMessage.contains("condemn") || c.getMessage.contains("rewritten") ||
+        c.getMessage.contains("consumed"))),
+      s"expected a loud unconsumed-retirement error, got: ${e.getMessage}")
+    assert(got2.asScala.sum == 20L)
+  }
+
   test("compaction of shards a stream had NOT consumed still fails loudly, naming the fix") {
     // un-emitted rows now exist only mixed into replacement shards:
     // exactly-once resume is provably impossible and the source must say
