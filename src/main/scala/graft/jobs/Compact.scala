@@ -132,6 +132,13 @@ object Compact {
     require(maxShardsPerCall >= 0, s"maxShardsPerCall must be >= 0; got $maxShardsPerCall")
   }
 
+  /** Maintenance token ("c" compact / "r" retire + 15 hex): longer than
+    * the writers' default 8 so a random future append can never collide
+    * with a recorded generation token.
+    */
+  private def newToken(prefix: String): String =
+    prefix + java.util.UUID.randomUUID().toString.replace("-", "").take(15)
+
   private def suffixFor(format: String): String = format match {
     case "geomedea"   => ".geomedea"
     case "flatgeobuf" => ".fgb"
@@ -223,7 +230,7 @@ object Compact {
       fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
     val manifest = GeomedeaManifest.read(fs, p).getOrElse(Map.empty)
     val picked = pickCandidates(shards, targetShardBytes, spreadFactor,
-      manifest, log.lastOption)
+      manifest, log)
     if (picked.size < 2) return 0
     rewriteSlices(spark, p, fs, picked, numShards, compressed, targetShardBytes,
       format, suffix, maxShardsPerCall, Some(manifest))
@@ -255,7 +262,7 @@ object Compact {
       .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
       .filter(condemn)
     if (victims.isEmpty) return 0
-    val token = "r" + java.util.UUID.randomUUID().toString.replace("-", "").take(15)
+    val token = newToken("r")
     val names = victims.map(_.getPath.getName)
     // same journal-then-apply shape as a compaction swap (completeSwap is
     // a no-op on the absent stage dir and idempotent on re-run, so a
@@ -270,24 +277,27 @@ object Compact {
     * health: a scheduler triggers maintenance when this is non-empty
     * "when the manifest shows extent overlap", without reading data).
     *
-    * Shards named as the LAST generation's replacements are candidates
-    * only when at least one FRESH candidate exists alongside them:
-    * rewriting just-rewritten shards ALONE cannot improve their layout —
-    * without this rule a globally-spread subset whose replacement ranges
-    * still cover large boxes would be re-picked on every call and a
-    * polling scheduler would rewrite the same bytes forever — but when
-    * fresh work qualifies (even a single new append), folding the
-    * semi-clustered replacements into its rewrite both converges their
-    * layout and keeps a one-append-per-interval lake from starving
-    * behind the two-candidate minimum.
+    * MINOR-compaction semantics: shards produced by ANY recorded
+    * generation (compaction/incremental outputs) are never candidates —
+    * they are as clustered as a rewrite of their data can make them, and
+    * re-picking them is how every area-style criterion churns (a
+    * globally-spread subset's replacement ranges still cover large
+    * boxes, so rewriting them alone neither converges nor stops). So
+    * incremental bounds the erosion from NEW appends at one rewrite per
+    * appended byte, and restoring GLOBAL clustering across accumulated
+    * maintenance outputs is the periodic full [[compact]]'s job — the
+    * classic minor/major division. A lone qualifying append waits for a
+    * second (rewriting one shard alone cannot improve pruning); its
+    * erosion is one extra planned file per query until then.
     */
   private[graft] def pickCandidates(shards: Seq[FileStatus],
                                     targetShardBytes: Long,
                                     spreadFactor: Double,
                                     manifest: Map[String, GeomedeaManifest.Entry],
-                                    lastGen: Option[LakeGenerations.Gen]): Seq[FileStatus] = {
+                                    log: Seq[LakeGenerations.Gen]): Seq[FileStatus] = {
     if (shards.size < 2) return Seq.empty
-    val justRewritten: Set[String] = lastGen.map(_.replacements).getOrElse(Set.empty)
+    val maintenanceOutputs: Set[String] =
+      log.iterator.flatMap(_.replacements).toSet
     def extentOf(s: FileStatus): Option[Envelope] =
       manifest.get(s.getPath.getName).filter(_.len == s.getLen).flatMap(_.extent)
     def area(e: Envelope): Double =
@@ -295,15 +305,15 @@ object Compact {
     val known = shards.flatMap(extentOf)
     val union = known.foldLeft(Envelope.empty)(_ union _)
     val ideal = if (known.isEmpty) 0.0 else area(union) / shards.size
-    val qualifying = shards.filter { s =>
-      s.getLen < targetShardBytes / 4 ||
-        (extentOf(s) match {
-          case Some(e) => ideal > 0.0 && area(e) > spreadFactor * ideal
-          case None    => true // undescribed: rewrite once, then it's known
-        })
+    val picked = shards.filter { s =>
+      !maintenanceOutputs(s.getPath.getName) &&
+        (s.getLen < targetShardBytes / 4 ||
+          (extentOf(s) match {
+            case Some(e) => ideal > 0.0 && area(e) > spreadFactor * ideal
+            case None    => true // undescribed: rewrite once, then it's known
+          }))
     }
-    if (qualifying.exists(s => !justRewritten(s.getPath.getName))) qualifying
-    else Seq.empty
+    if (picked.size >= 2) picked else Seq.empty
   }
 
   /** Spatially-coherent bounded slices: shards ordered by the Hilbert
@@ -335,9 +345,7 @@ object Compact {
   private def compactSet(spark: SparkSession, p: Path, fs: FileSystem,
                          shards: Seq[FileStatus], n: Int, compressed: Boolean,
                          format: String, suffix: String): Unit = {
-    // compact tokens are longer than the writers' default 8 so a random
-    // future append can never collide with a recorded generation token
-    val token = "c" + java.util.UUID.randomUUID().toString.replace("-", "").take(15)
+    val token = newToken("c")
     val stage = new Path(p, s"$StagePrefix$token")
     try {
       // pinned read set: one single-file scan per PLANNED shard, unioned —

@@ -41,7 +41,10 @@ import java.nio.charset.StandardCharsets
   * manifest can afford such windows; this file is correctness-bearing
   * for resume-across-compaction). Racing publishers of the same
   * generation fail the create loudly — records are never silently
-  * dropped. If the log is missing or unparseable, streams degrade to
+  * dropped (a TORN claimant is reclaimed only once it is older than
+  * [[TornReclaimGraceMs]], i.e. provably a crashed publisher's residue
+  * and not a live writer's in-flight file). If the log is missing or
+  * unparseable, streams degrade to
   * round 4's loud rewrite error (never to silent re-emission or loss).
   * Records are capped at [[MaxGenerations]] — a checkpoint older than
   * the horizon fails loudly with the missing-generation error.
@@ -79,6 +82,15 @@ object LakeGenerations {
 
   /** Oldest records kept; resuming from before the horizon fails loudly. */
   val MaxGenerations = 1024
+
+  /** A torn same-version claimant younger than this is NOT reclaimed: it
+    * may be a live publisher's in-flight file (0 bytes until its close
+    * flushes), and deleting it would silently destroy a generation
+    * record. No real writer holds the tiny log open for minutes; crashed
+    * residue is arbitrarily old, so a grace this wide never wedges
+    * recovery for long while keeping same-version races loud.
+    */
+  val TornReclaimGraceMs: Long = 10L * 60 * 1000
 
   private def versionedPath(dir: Path, gen: Long): Path =
     new Path(dir, f"_generations.v$gen%019d.tsv")
@@ -209,11 +221,17 @@ object LakeGenerations {
         case e: java.io.IOException =>
           // the version may be claimed by a TORN file — a publisher that
           // crashed mid-write (readers already skip it via the count
-          // header). Reclaim it once; a file that PARSES is a live
-          // concurrent publisher's record and stays a loud error
-          // (maintenance is single-writer by contract, so deleting an
-          // unparseable claimant cannot race a legitimate writer).
-          if (fs.exists(fin) && readOne(fs, fin).isEmpty) {
+          // header). Reclaim it ONLY when it is also STALE: a fresh torn
+          // file can be a LIVE publisher between create and close (0
+          // bytes until the flush), and deleting that would silently
+          // destroy its record — the exact loss the exclusive create
+          // exists to make loud. Crashed residue ages past the grace;
+          // a parseable claimant is a complete record and always stays
+          // a loud error.
+          val stale = fs.exists(fin) && readOne(fs, fin).isEmpty &&
+            System.currentTimeMillis() - fs.getFileStatus(fin).getModificationTime >
+              TornReclaimGraceMs
+          if (stale) {
             fs.delete(fin, false)
             try fs.create(fin, false)
             catch {
@@ -221,7 +239,9 @@ object LakeGenerations {
                 s"failed to publish ${fin.getName} under $dir (concurrent compaction?)", e2)
             }
           } else throw new IllegalStateException(
-            s"failed to publish ${fin.getName} under $dir (concurrent compaction?)", e)
+            s"failed to publish ${fin.getName} under $dir (concurrent compaction, or " +
+              s"a crashed publisher's torn file younger than the " +
+              s"${TornReclaimGraceMs / 60000}-minute reclaim grace — retry later)", e)
       }
     val out = claim()
     try out.write((s"v1\t${all.size}\n" + all.map(_.line).mkString("", "\n", "\n"))

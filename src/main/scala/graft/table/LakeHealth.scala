@@ -92,7 +92,7 @@ object LakeHealth {
       // shards as undersized forever.
       compactionCandidates =
         Compact.pickCandidates(files, targetShardBytes, 4.0,
-          raw.getOrElse(Map.empty), log.lastOption).size.toLong)
+          raw.getOrElse(Map.empty), log).size.toLong)
   }
 
   def parquetTable(spark: SparkSession, dir: String): Health = {

@@ -393,10 +393,21 @@ class CompactionSpec extends AnyFunSuite {
       ("v1\t2\n" + good.head.line + "\n").getBytes("UTF-8"))
     assert(LakeGenerations.read(fs, p) == good,
       "a torn newest version must fall back to the intact previous one")
-    // the torn file claims version 2, but a TORN claimant is a crashed
-    // publisher's residue: the next publish RECLAIMS it (otherwise one
-    // crash mid-write would wedge every future compaction of the lake
-    // behind a misleading 'concurrent compaction' error, forever)
+    // the torn file claims version 2. While FRESH it may be a LIVE
+    // publisher's in-flight file (0 bytes until the close flushes), so
+    // the publish fails loudly naming the grace...
+    val eFresh = intercept[IllegalStateException] {
+      LakeGenerations.append(fs, p, "c0000000000000aa2",
+        Seq("b.geomedea"), Seq("c.geomedea"))
+    }
+    assert(eFresh.getMessage.contains("grace"))
+    // ...but once STALE it is provably a crashed publisher's residue and
+    // the next publish RECLAIMS it (otherwise one crash mid-write would
+    // wedge every future compaction of the lake forever)
+    val torn = java.nio.file.Paths.get(dir, f"_generations.v${2L}%019d.tsv")
+    java.nio.file.Files.setLastModifiedTime(torn,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - LakeGenerations.TornReclaimGraceMs - 60000))
     val g2 = LakeGenerations.append(fs, p, "c0000000000000aa2",
       Seq("b.geomedea"), Seq("c.geomedea"))
     assert(g2 == 2L && LakeGenerations.read(fs, p).map(_.gen) == Seq(1L, 2L))
@@ -437,26 +448,32 @@ class CompactionSpec extends AnyFunSuite {
     assert(Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1) == 3)
     assert(count() == rows)
     // the 2 replacements each cover ~half the lake: area-wise they WOULD
-    // be candidates again — prove the exclusion is what stops the churn
+    // be candidates again — prove the maintenance-output exclusion is
+    // what stops the churn
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val p = new org.apache.hadoop.fs.Path(dir)
     val shards = fs.listStatus(p).toSeq.filter(s =>
       s.isFile && s.getPath.getName.endsWith(".geomedea"))
     val manifest = graft.sources.v2.GeomedeaManifest.read(fs, p).getOrElse(Map.empty)
-    assert(Compact.pickCandidates(shards, 1L, 4.0, manifest, lastGen = None).size >= 2,
+    assert(Compact.pickCandidates(shards, 1L, 4.0, manifest, log = Seq.empty).size >= 2,
       "without the exclusion the replacements would be re-picked (churn)")
     assert(Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1) == 0,
       "repeated incremental calls must converge to a no-op")
     assert(count() == rows)
-    // ...but ONE fresh overspread append lifts the exclusion: the
-    // semi-clustered replacements fold into its rewrite (a lake receiving
-    // one shard per maintenance interval must not starve behind the
-    // two-candidate minimum while the appends erode pruning)
+    // MINOR-compaction semantics: a LONE fresh append waits (rewriting
+    // one shard alone cannot improve pruning, and folding maintenance
+    // outputs back in would rewrite O(lake) per trickle append); the
+    // second append triggers a rewrite of exactly the fresh pair
     uniform(2000 until 2020).repartition(1)
       .write.format("geomedea").mode("append").save(dir)
-    val folded = Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1)
-    assert(folded == 3, s"1 fresh append + 2 just-rewritten shards, got $folded")
-    assert(count() == rows + 20)
+    assert(Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1) == 0,
+      "a lone fresh append must wait for a second, not fold the whole lake")
+    uniform(3000 until 3020).repartition(1)
+      .write.format("geomedea").mode("append").save(dir)
+    val minor = Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1)
+    assert(minor == 2, s"exactly the two fresh appends, got $minor")
+    assert(count() == rows + 40)
+    assert(Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1) == 0)
   }
 
   test("incremental compaction rewrites only the overspread appends and converges") {
