@@ -466,6 +466,24 @@ object SparkEntry {
         .select(col("poly_id"), col("doc_id")).orderBy("poly_id", "doc_id")
     }),
 
+    // spatial join, strategy 5: distance-within (DWithin) join — the
+    // radius bounds the cell ring a priori (no histogram pass), one
+    // broadcast cell equi-join + exact distance filter, no cross product
+    "q52_distance_join" -> ((s, dir) => {
+      SpatialJoin.distanceJoin(geo(s, dir),
+          InterleavedDocs.nationQueryPoints(s, dir), radius = 300000000L)
+        .orderBy("query_id", "doc_id")
+    }),
+
+    // raster tile PYRAMID, zooms 0..6 from ONE scan: aggregate to the
+    // base-zoom grid first (map-side combined), ancestors derived
+    // arithmetically from the aggregated grid — the raw table is never
+    // re-scanned per zoom and never exploded (maxZoom+1)x
+    "q53_tile_pyramid" -> ((s, dir) => {
+      Tiles.pyramid(geo(s, dir), maxZoom = 6)
+        .orderBy("zoom", "tile_id")
+    }),
+
     // relational coverage: agg, broadcast join + top-n, window
     "q20_lineitem_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -784,6 +802,29 @@ object SparkEntry {
       s"""WITH $P, $R SELECT r.poly_id, p.doc_id FROM pts p JOIN rects r
          |ON p.lng BETWEEN r.p_min_lng AND r.p_max_lng AND p.lat BETWEEN r.p_min_lat AND r.p_max_lat
          |ORDER BY r.poly_id, p.doc_id""".stripMargin,
+
+    // brute-force DWithin replay: the engine's ring-join must equal the
+    // cross join + exact predicate (the same IEEE double arithmetic)
+    "q52_distance_join" ->
+      s"""WITH $P, $Q SELECT q.query_id, p.doc_id FROM pts p CROSS JOIN qpts q
+         |WHERE CAST(p.lng - q.q_lng AS DOUBLE) * CAST(p.lng - q.q_lng AS DOUBLE)
+         |    + CAST(p.lat - q.q_lat AS DOUBLE) * CAST(p.lat - q.q_lat AS DOUBLE)
+         |   <= CAST(300000000 AS DOUBLE) * CAST(300000000 AS DOUBLE)
+         |ORDER BY query_id, doc_id""".stripMargin,
+
+    // pyramid replay: base grid at zoom 6 (cell 56250000 x 28125000 —
+    // exact integers, Cells.scala invariant), ancestors by bit shift
+    "q53_tile_pyramid" ->
+      s"""WITH $P, base AS (
+         |  SELECT (lng + 1800000000) // 56250000 AS bx, (lat + 900000000) // 28125000 AS by,
+         |         count(*) AS n
+         |  FROM pts GROUP BY 1, 2),
+         |z AS (SELECT range AS zoom FROM range(0, 7))
+         |SELECT CAST(z.zoom AS BIGINT) AS zoom,
+         |       (bx >> (6 - z.zoom)) * (1 << z.zoom) + (by >> (6 - z.zoom)) AS tile_id,
+         |       bx >> (6 - z.zoom) AS tile_x, by >> (6 - z.zoom) AS tile_y,
+         |       CAST(sum(n) AS BIGINT) AS n
+         |FROM base CROSS JOIN z GROUP BY 1, 2, 3, 4 ORDER BY zoom, tile_id""".stripMargin,
 
     "q20_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

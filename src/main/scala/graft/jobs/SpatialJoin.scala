@@ -119,6 +119,48 @@ object SpatialJoin {
       .drop("hchunk")
   }
 
+  /** Strategy 5 (DWithin): distance-within join — every (query, point)
+    * pair with squared Euclidean distance (scaled-int space, computed in
+    * double like [[Knn]] — IEEE-reproducible by the SQL oracle) at most
+    * radius². The radius bounds the search ring a priori, so unlike kNN
+    * no histogram pass is needed: each query explodes to the cells that
+    * can contain a match — Chebyshev ring k = floor(radius/minCellDim)+1,
+    * which dominates any per-axis cell-index shift a coordinate move of
+    * `radius` can cause — and one cell equi-join + exact distance filter
+    * finishes. Fully declarative: no driver collect, one shuffle-free
+    * broadcast join when the query side is small (`broadcastQueries`,
+    * default), a plain shuffled equi-join AQE can skew-split otherwise.
+    *
+    * points: (doc_id, lng, lat, ...); queries: (query_id, q_lng, q_lat).
+    * Returns (query_id, doc_id) pairs. Exact (bruteForce-equal).
+    */
+  def distanceJoin(points: DataFrame, queries: DataFrame, radius: Long,
+                   res: Int = DefaultRes,
+                   broadcastQueries: Boolean = true): DataFrame = {
+    require(radius >= 0, s"radius must be >= 0; got $radius")
+    val minDim = math.min(graft.curve.Cells.cellWidth(res),
+      graft.curve.Cells.cellHeight(res))
+    val k = (radius / minDim).toInt + 1
+    val qcells = queries
+      .withColumn("cell",
+        explode(gmKRing(gmCell(col("q_lng"), col("q_lat"), res), res, lit(k))))
+    val pts = points.withColumn("cell", gmCell(col("lng"), col("lat"), res))
+    val dx = (col("lng").cast("long") - col("q_lng").cast("long")).cast("double")
+    val dy = (col("lat").cast("long") - col("q_lat").cast("long")).cast("double")
+    pts.join(if (broadcastQueries) broadcast(qcells) else qcells, Seq("cell"), "inner")
+      .where(dx * dx + dy * dy <= lit(radius.toDouble * radius.toDouble))
+      .select("query_id", "doc_id")
+  }
+
+  /** Test oracle for [[distanceJoin]]: cross join + exact predicate. */
+  def distanceBruteForce(points: DataFrame, queries: DataFrame, radius: Long): DataFrame = {
+    val dx = (col("lng").cast("long") - col("q_lng").cast("long")).cast("double")
+    val dy = (col("lat").cast("long") - col("q_lat").cast("long")).cast("double")
+    points.crossJoin(broadcast(queries))
+      .where(dx * dx + dy * dy <= lit(radius.toDouble * radius.toDouble))
+      .select("query_id", "doc_id")
+  }
+
   /** Test oracle: brute-force cross join + exact predicate (tiny scale only). */
   def bruteForce(points: DataFrame, polys: DataFrame): DataFrame =
     refined(points.crossJoin(polys))

@@ -24,6 +24,38 @@ object Tiles {
       .select("tile_id", "tile_x", "tile_y", "n")
   }
 
+  /** Full raster pyramid (every zoom 0..maxZoom) from ONE scan of the
+    * data: aggregate to the base-zoom heat grid first (map-side combined,
+    * <= 4^maxZoom rows survive the shuffle), then derive every ancestor
+    * tile ARITHMETICALLY from the base tiles (parent x/y = child x/y >> 1
+    * per level) and re-aggregate the tiny grid. The raw table is touched
+    * exactly once — the shape that survives 100x: a per-zoom loop rescans
+    * the table maxZoom+1 times, and exploding zoom levels BEFORE the
+    * first aggregation shuffles (maxZoom+1)x the data. Returns
+    * (zoom, tile_id, tile_x, tile_y, n); within a zoom, tile ids use that
+    * zoom's own 2^zoom x 2^zoom grid (same packing as [[raster]]).
+    */
+  def pyramid(docsGeo: DataFrame, maxZoom: Int): DataFrame = {
+    require(maxZoom >= 0 && maxZoom <= graft.curve.Cells.MaxRes,
+      s"maxZoom must be in [0, ${graft.curve.Cells.MaxRes}]; got $maxZoom")
+    val perMax = 1L << maxZoom
+    val base = docsGeo
+      .withColumn("t", gmTile(col("lng"), col("lat"), maxZoom))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .withColumn("bx", floor(col("t") / perMax).cast("long"))
+      .withColumn("by", pmod(col("t"), lit(perMax)).cast("long"))
+    base
+      .withColumn("zoom", explode(sequence(lit(0), lit(maxZoom))))
+      .withColumn("shift", lit(maxZoom) - col("zoom"))
+      .withColumn("tile_x", expr("shiftright(bx, shift)"))
+      .withColumn("tile_y", expr("shiftright(by, shift)"))
+      .withColumn("tile_id",
+        col("tile_x") * expr("shiftleft(CAST(1 AS BIGINT), zoom)") + col("tile_y"))
+      .groupBy(col("zoom").cast("long").as("zoom"), col("tile_id"),
+        col("tile_x"), col("tile_y"))
+      .agg(sum("n").as("n"))
+  }
+
   val DefaultBuckets = 64
 
   /** Vector tiles as bucketed sub-tiles — the 100 TB shape:

@@ -61,6 +61,45 @@ class SparkSpec extends AnyFunSuite {
     assert(top.getLong(1) > geo.count() / 2)
   }
 
+  test("distance-within join equals brute force at several radii, both join strategies") {
+    val queries = InterleavedDocs.nationQueryPoints(spark, Sf)
+    // radii straddling cell sizes at res 4 (225e6 x 112.5e6): sub-cell,
+    // cell-ish, multi-cell, and 0 (exact-hit only — likely empty, must
+    // not error); plus a non-default res and the shuffled-join variant
+    for (r <- Seq(0L, 50000000L, 150000000L, 400000000L)) {
+      val brute = rows(SpatialJoin.distanceBruteForce(geo, queries, r), "query_id", "doc_id")
+      assert(rows(SpatialJoin.distanceJoin(geo, queries, r), "query_id", "doc_id") == brute)
+      assert(rows(SpatialJoin.distanceJoin(geo, queries, r, res = 6), "query_id", "doc_id") == brute)
+      assert(rows(SpatialJoin.distanceJoin(geo, queries, r, broadcastQueries = false),
+        "query_id", "doc_id") == brute)
+    }
+    // the headline radius used by q52 returns rows on this data
+    assert(rows(SpatialJoin.distanceJoin(geo, queries, 300000000L), "query_id", "doc_id").nonEmpty)
+  }
+
+  test("tile pyramid: every zoom's counts sum to the doc count; parents sum their children") {
+    val total = geo.count()
+    val pyr = graft.jobs.Tiles.pyramid(geo, maxZoom = 6).cache()
+    val perZoom = pyr.groupBy("zoom").agg(sum("n").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perZoom.keySet == (0L to 6L).toSet)
+    assert(perZoom.values.forall(_ == total))
+    // parent tile count == sum of its (<=4) children at the next zoom
+    val children = pyr.where(col("zoom") === 6)
+      .select((col("tile_x") / 2).cast("long").as("px"),
+        (col("tile_y") / 2).cast("long").as("py"), col("n"))
+      .groupBy("px", "py").agg(sum("n").as("cn"))
+    val parents = pyr.where(col("zoom") === 5)
+      .select(col("tile_x").as("px"), col("tile_y").as("py"), col("n").as("pn"))
+    val mismatch = parents.join(children, Seq("px", "py"), "full_outer")
+      .where(col("pn").isNull || col("cn").isNull || col("pn") =!= col("cn")).count()
+    assert(mismatch == 0)
+    // zoom-z agreement with the single-zoom raster operator
+    val r4 = rows(graft.jobs.Tiles.raster(geo, 4), "tile_id", "n")
+    assert(rows(pyr.where(col("zoom") === 4), "tile_id", "n") == r4)
+    pyr.unpersist()
+  }
+
   test("span-sequence invariant: join output spans equal input spans per doc_id") {
     val out = SpatialJoin.cellJoin(geo, rects).select("doc_id", "spans")
     val in = docs.withColumnRenamed("spans", "spans_in")
