@@ -57,6 +57,36 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("distanceJoin plans a cell equi-join — broadcast by default, shuffle on request, never a cross product") {
+    val queries = InterleavedDocs.nationQueryPoints(spark, Sf)
+    val b = plan(SpatialJoin.distanceJoin(geo, queries, 150000000L))
+    assert(b.contains("BroadcastHashJoin"), b)
+    assert(!b.contains("CartesianProduct") && !b.contains("BroadcastNestedLoopJoin"), b)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = plan(SpatialJoin.distanceJoin(geo, queries, 150000000L, broadcastQueries = false))
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"), s)
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("tile pyramid scans the raw table ONCE and re-aggregates only the base grid") {
+    val pyr = graft.jobs.Tiles.pyramid(geo, maxZoom = 6)
+    val p = pyr.queryExecution.optimizedPlan.toString
+    // one scan of the cached docs relation, two aggregates (base + rollup),
+    // and the zoom explode sits ABOVE the first aggregate, not below it
+    val scans = "InMemoryRelation|Relation|LogicalRDD".r.findAllIn(p).size
+    assert(scans <= 1, s"pyramid must not rescan the table per zoom:\n$p")
+    // plan prints top-down: rollup Aggregate ABOVE the zoom Generate
+    // (explode), which sits ABOVE the base Aggregate — i.e. the explode
+    // applies to the aggregated grid, never to the raw rows
+    val rollup = p.indexOf("Aggregate")
+    val expl = p.indexOf("Generate")
+    val base = p.lastIndexOf("Aggregate")
+    assert(rollup >= 0 && rollup < expl && expl < base,
+      s"zoom explode must sit between the rollup and base aggregates:\n$p")
+  }
+
   test("cosinePairs grid blocking plans an equi-join on cells — never a cross product") {
     val e = spark.read.parquet(s"$Sf/embeddings.parquet").select("vec_id", "embedding")
     val p = plan(Similarity.cosinePairs(e, 4000, 64, bruteForce = false))
