@@ -96,7 +96,10 @@ object Compact {
     *  - `numShards`: total output shards (0 = size from lake bytes /
     *    `targetShardBytes`; range partitioning may yield fewer when the
     *    key space is tiny). With slicing it is apportioned to slices by
-    *    byte share.
+    *    byte share, each slice emitting at least ONE shard — so the
+    *    actual total is floored at the slice count (a slice cannot merge
+    *    into another slice's output by construction); callers that need
+    *    exactly `numShards` must leave `maxShardsPerCall` at 0.
     *  - `format`: `"geomedea"` (default) or `"flatgeobuf"` — both DSv2
     *    sources share the row surface (wkb/props + envelope stats) and
     *    the same commit protocol, so one maintenance job serves both.
@@ -296,8 +299,17 @@ object Compact {
                                     manifest: Map[String, GeomedeaManifest.Entry],
                                     log: Seq[LakeGenerations.Gen]): Seq[FileStatus] = {
     if (shards.size < 2) return Seq.empty
+    // recorded replacements, PLUS anything carrying a compaction-minted
+    // shard token ("c"+15hex — [[newToken]], only compactSet mints
+    // these): the generation log keeps only [[LakeGenerations.
+    // MaxGenerations]] records, so a long-lived lake's oldest
+    // maintenance outputs eventually fall off the horizon — and an
+    // area-style criterion would then churn-rewrite them forever (their
+    // global-Hilbert-range extents legitimately cover large boxes). The
+    // name check never expires.
     val maintenanceOutputs: Set[String] =
       log.iterator.flatMap(_.replacements).toSet
+    val maintenanceName = "^part-c[0-9a-f]{15}-".r
     def extentOf(s: FileStatus): Option[Envelope] =
       manifest.get(s.getPath.getName).filter(_.len == s.getLen).flatMap(_.extent)
     def area(e: Envelope): Double =
@@ -307,6 +319,7 @@ object Compact {
     val ideal = if (known.isEmpty) 0.0 else area(union) / shards.size
     val picked = shards.filter { s =>
       !maintenanceOutputs(s.getPath.getName) &&
+        maintenanceName.findFirstIn(s.getPath.getName).isEmpty &&
         (s.getLen < targetShardBytes / 4 ||
           (extentOf(s) match {
             case Some(e) => ideal > 0.0 && area(e) > spreadFactor * ideal

@@ -65,6 +65,12 @@ object Knn {
     * raise `res` so the cell key space (4^res) comfortably exceeds the
     * shuffle partition count — res 4's 256 keys would make a skewy
     * shuffle — and AQE's skew-join handles residual hot cells.
+    *
+    * The broadcastability probe evaluates the query plan once (a
+    * short-circuiting `limit(maxBroadcast+1)`), and the distributed
+    * branch then re-evaluates it in full — cache expensive query plans
+    * before calling, and never pass a non-deterministic one (a
+    * re-sampled plan could diverge between probe and join).
     */
   def knn(points: DataFrame, queries: DataFrame, k: Int, res: Int = DefaultRes,
           maxBroadcast: Int = MaxQueries): DataFrame = {

@@ -140,7 +140,10 @@ object SpatialJoin {
     require(radius >= 0, s"radius must be >= 0; got $radius")
     val minDim = math.min(graft.curve.Cells.cellWidth(res),
       graft.curve.Cells.cellHeight(res))
-    val k = (radius / minDim).toInt + 1
+    // clamp at the grid size BEFORE narrowing: kRing clips to the world
+    // anyway, and an unclamped huge radius would overflow the Int and
+    // silently shrink the ring (dropping matches)
+    val k = math.min(graft.curve.Cells.cellsPerAxis(res), radius / minDim + 1).toInt
     val qcells = queries
       .withColumn("cell",
         explode(gmKRing(gmCell(col("q_lng"), col("q_lat"), res), res, lit(k))))

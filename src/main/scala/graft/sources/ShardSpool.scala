@@ -47,15 +47,19 @@ object ShardSpool {
     */
   val DefaultSplitGranularity: Long = 64L << 20
 
-  /** Executor-local spill directory: the first `spark.local.dir` disk
-    * when running inside an executor/driver (the disks provisioned for
-    * shuffle spill — on a real cluster /tmp may be a tiny root volume),
-    * else `java.io.tmpdir`. Respects the env overrides Spark itself
-    * honors for local dirs via the resolved conf.
+  /** Executor-local spill directory: the disks provisioned for shuffle
+    * spill — on a real cluster /tmp may be a tiny root volume. Resolved
+    * in Spark's own precedence order (`Utils.getConfiguredLocalDirs`):
+    * the cluster manager's env vars first (`LOCAL_DIRS` on YARN,
+    * `SPARK_LOCAL_DIRS` elsewhere — these never appear in SparkConf, so
+    * reading only `spark.local.dir` would silently spool to /tmp on
+    * YARN/K8s executors), then `spark.local.dir`, then `java.io.tmpdir`.
     */
   private[sources] def spillDir(): Path = {
     val conf = Option(org.apache.spark.SparkEnv.get).map(_.conf)
-    val dir = conf.flatMap(_.getOption("spark.local.dir"))
+    val dir = sys.env.get("LOCAL_DIRS") // YARN sets this per container
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .orElse(conf.flatMap(_.getOption("spark.local.dir")))
       .map(_.split(',').head.trim)
       .filter(_.nonEmpty)
       .getOrElse(System.getProperty("java.io.tmpdir"))

@@ -263,15 +263,8 @@ class FgbScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
         // full scan: split oversized shards at the manifest's
         // writer-sampled feature-block boundaries (Parquet row-group
         // analog) so parallelism is not capped at the shard count
-        keptFiles.flatMap { f =>
-          if (f.splits.size < 2) Seq(GeomedeaPartition(f.path))
-          else {
-            val bounds = f.splits :+ f.len
-            bounds.zip(bounds.tail).map { case (s, e) =>
-              GeomedeaPartition(f.path, s, e, f.splits.head)
-            }
-          }
-        }.map(p => p: InputPartition).toArray
+        keptFiles.flatMap(f => GeomedeaTable.splitPartitions(f.path, f.len, f.splits))
+          .map(p => p: InputPartition).toArray
       case _ => keptFiles.map(f => GeomedeaPartition(f.path): InputPartition).toArray
     }
   }

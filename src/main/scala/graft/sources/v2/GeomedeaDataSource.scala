@@ -102,6 +102,22 @@ object GeomedeaTable {
                             splits: Vector[Long] = Vector.empty,
                             extent: Option[Envelope] = None)
 
+  /** Intra-shard split expansion — the ONE copy every full-scan planner
+    * (batch geomedea + fgb, both streams) uses: one partition per
+    * sampled boundary run, the whole file when the list is degenerate
+    * (< 2 boundaries). Boundary pairing must be identical everywhere or
+    * the same manifest plans differently-shaped partitions per caller.
+    */
+  def splitPartitions(path: String, len: Long,
+                      splits: Vector[Long]): Seq[GeomedeaPartition] =
+    if (splits.size < 2) Seq(GeomedeaPartition(path))
+    else {
+      val bounds = splits :+ len
+      bounds.zip(bounds.tail).map { case (s, e) =>
+        GeomedeaPartition(path, s, e, splits.head)
+      }
+    }
+
   /** Surviving files with byte length and header feature count. Fast
     * path: a directory written by the v2 writer carries a
     * [[GeomedeaManifest]] — extents/counts for the whole lake in ONE
@@ -394,15 +410,8 @@ class GeomedeaScan(path: String, bbox: Option[Envelope], pushed: Array[Filter],
         keptFiles.takeWhile { f => val need = cum < n; cum += f.count; need }
           .map(f => GeomedeaPartition(f.path): InputPartition).toArray
       case (None, None) =>
-        keptFiles.flatMap { f =>
-          if (f.splits.size < 2) Seq(GeomedeaPartition(f.path))
-          else {
-            val bounds = f.splits :+ f.len
-            bounds.zip(bounds.tail).map { case (s, e) =>
-              GeomedeaPartition(f.path, s, e, f.splits.head)
-            }
-          }
-        }.map(p => p: InputPartition).toArray
+        keptFiles.flatMap(f => GeomedeaTable.splitPartitions(f.path, f.len, f.splits))
+          .map(p => p: InputPartition).toArray
       case _ => keptFiles.map(f => GeomedeaPartition(f.path): InputPartition).toArray
     }
   }

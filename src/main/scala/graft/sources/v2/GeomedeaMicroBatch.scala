@@ -50,12 +50,8 @@ private[v2] object StreamSplits {
       .filter { case (n, e) => lenByName.get(n).contains(e.len) }
     kept.flatMap { x =>
       manifest.get(new Path(x).getName) match {
-        case Some(e) if e.validSplits.size >= 2 =>
-          val bounds = e.validSplits :+ e.len
-          bounds.zip(bounds.tail).map { case (s, en) =>
-            GeomedeaPartition(x, s, en, e.validSplits.head)
-          }
-        case _ => Seq(GeomedeaPartition(x))
+        case Some(e) => GeomedeaTable.splitPartitions(x, e.len, e.validSplits)
+        case _       => Seq(GeomedeaPartition(x))
       }
     }.map(p => p: InputPartition).toArray
   }
@@ -333,8 +329,13 @@ object GeomedeaOffset {
           else last.replacements.iterator
             .filterNot(n => liveNames(n) || condemned(n))
             .map(n => new Path(dir, n).toString).toVector
+        // sorted: json() canonicalizes anyway, but Spark also compares
+        // the in-memory case class against a checkpoint-deserialized
+        // offset (which fromJson returns sorted) — unsorted pending
+        // names appended here would make identical offsets compare
+        // unequal and plan a spurious empty batch mid-swap
         return GeomedeaOffset(last.gen,
-          live.filterNot(f => condemned(nameOf(f))) ++ pendingRepl)
+          (live.filterNot(f => condemned(nameOf(f))) ++ pendingRepl).sorted)
       }
       attempt += 1
       // a log that moves under FIVE consecutive listings (sliced

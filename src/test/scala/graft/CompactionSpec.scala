@@ -455,8 +455,27 @@ class CompactionSpec extends AnyFunSuite {
     val shards = fs.listStatus(p).toSeq.filter(s =>
       s.isFile && s.getPath.getName.endsWith(".geomedea"))
     val manifest = graft.sources.v2.GeomedeaManifest.read(fs, p).getOrElse(Map.empty)
-    assert(Compact.pickCandidates(shards, 1L, 4.0, manifest, log = Seq.empty).size >= 2,
-      "without the exclusion the replacements would be re-picked (churn)")
+    // EMPTY log + compaction-minted names: the exclusion must survive the
+    // generation log's retention horizon (a long-lived lake would
+    // otherwise churn-rewrite old maintenance outputs forever once their
+    // records age past MaxGenerations) — the name pattern never expires
+    assert(Compact.pickCandidates(shards, 1L, 4.0, manifest, log = Seq.empty).isEmpty,
+      "maintenance-name exclusion must survive log-horizon expiry")
+    // control: the same shards DISGUISED under append-style names (same
+    // lengths + manifest extents) ARE re-picked by the area criterion —
+    // proving the exclusions are what stops the churn
+    val disguised = shards.zipWithIndex.map { case (s, i) =>
+      val nn = f"part-deadbeef-$i%05d.geomedea"
+      (new org.apache.hadoop.fs.FileStatus(s.getLen, false, 1, 64,
+        s.getModificationTime, new org.apache.hadoop.fs.Path(p, nn)),
+        s.getPath.getName, nn)
+    }
+    val remapped = disguised.flatMap { case (_, old, nn) =>
+      manifest.get(old).map(e => nn -> e.copy(name = nn))
+    }.toMap
+    assert(Compact.pickCandidates(disguised.map(_._1), 1L, 4.0, remapped,
+      log = Seq.empty).size >= 2,
+      "without the exclusions the replacements would be re-picked (churn)")
     assert(Compact.incremental(spark, dir, numShards = 2, targetShardBytes = 1) == 0,
       "repeated incremental calls must converge to a no-op")
     assert(count() == rows)

@@ -72,19 +72,21 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("tile pyramid scans the raw table ONCE and re-aggregates only the base grid") {
     val pyr = graft.jobs.Tiles.pyramid(geo, maxZoom = 6)
-    val p = pyr.queryExecution.optimizedPlan.toString
-    // one scan of the cached docs relation, two aggregates (base + rollup),
-    // and the zoom explode sits ABOVE the first aggregate, not below it
-    val scans = "InMemoryRelation|Relation|LogicalRDD".r.findAllIn(p).size
-    assert(scans <= 1, s"pyramid must not rescan the table per zoom:\n$p")
-    // plan prints top-down: rollup Aggregate ABOVE the zoom Generate
-    // (explode), which sits ABOVE the base Aggregate — i.e. the explode
-    // applies to the aggregated grid, never to the raw rows
-    val rollup = p.indexOf("Aggregate")
-    val expl = p.indexOf("Generate")
-    val base = p.lastIndexOf("Aggregate")
-    assert(rollup >= 0 && rollup < expl && expl < base,
-      s"zoom explode must sit between the rollup and base aggregates:\n$p")
+    val lp = pyr.queryExecution.optimizedPlan
+    // tree-shape assertions (string rendering would also match the inner
+    // children a reused InMemoryRelation prints): exactly ONE leaf
+    // relation, and the pre-order node sequence rollup-Aggregate >
+    // zoom-Generate (explode) > base-Aggregate — i.e. the explode
+    // applies to the aggregated grid, never to the raw rows, and the
+    // table is never rescanned per zoom
+    assert(lp.collectLeaves().size == 1,
+      s"pyramid must not rescan the table per zoom:\n$lp")
+    val nodes = lp.collect {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => "agg"
+      case _: org.apache.spark.sql.catalyst.plans.logical.Generate  => "explode"
+    }
+    assert(nodes == Seq("agg", "explode", "agg"),
+      s"zoom explode must sit between the rollup and base aggregates; got $nodes:\n$lp")
   }
 
   test("cosinePairs grid blocking plans an equi-join on cells — never a cross product") {
