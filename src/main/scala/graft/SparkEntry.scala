@@ -484,6 +484,29 @@ object SparkEntry {
         .orderBy("zoom", "tile_id")
     }),
 
+    // spatial ANTI-join: points contained by NO polygon (outlier /
+    // offshore filtering) — semi-join matches removed by one left_anti.
+    // Rect subset {3, 15} only: the full nation grid tiles the whole
+    // world (complement trivially empty), and at small SF every
+    // scattered doc sits in rect 0 (ids too small to wrap the modulus) —
+    // {3, 15} keeps the hot cluster matched, rect 3 empty, rect 0 out
+    "q54_spatial_antijoin" -> ((s, dir) => {
+      SpatialJoin.antiJoin(geo(s, dir),
+          InterleavedDocs.nationRects(s, dir).where(col("poly_id") % 12 === 3))
+        .select(col("doc_id"), col("lng").cast("long").as("lng"),
+          col("lat").cast("long").as("lat"))
+        .orderBy("doc_id")
+    }),
+
+    // zonal statistics: per-polygon count + contained-coordinate extent,
+    // empty polygons kept with n = 0 (the rect subset leaves some zones
+    // genuinely empty at small SF — the left-outer contract is exercised)
+    "q55_zonal_stats" -> ((s, dir) => {
+      SpatialJoin.zonalStats(geo(s, dir),
+          InterleavedDocs.nationRects(s, dir).where(col("poly_id") % 12 === 3))
+        .orderBy("poly_id")
+    }),
+
     // relational coverage: agg, broadcast join + top-n, window
     "q20_lineitem_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -825,6 +848,30 @@ object SparkEntry {
          |       bx >> (6 - z.zoom) AS tile_x, by >> (6 - z.zoom) AS tile_y,
          |       CAST(sum(n) AS BIGINT) AS n
          |FROM base CROSS JOIN z GROUP BY 1, 2, 3, 4 ORDER BY zoom, tile_id""".stripMargin,
+
+    "q54_spatial_antijoin" ->
+      s"""WITH $P, $R SELECT p.doc_id, p.lng, p.lat FROM pts p
+         |WHERE NOT EXISTS (SELECT 1 FROM rects r
+         |  WHERE r.poly_id % 12 = 3
+         |    AND p.lng BETWEEN r.p_min_lng AND r.p_max_lng
+         |    AND p.lat BETWEEN r.p_min_lat AND r.p_max_lat)
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "q55_zonal_stats" ->
+      s"""WITH $P, $R, z AS (
+         |  SELECT r.poly_id, count(*) AS n,
+         |         CAST(min(p.lng) AS BIGINT) AS z_min_lng, CAST(min(p.lat) AS BIGINT) AS z_min_lat,
+         |         CAST(max(p.lng) AS BIGINT) AS z_max_lng, CAST(max(p.lat) AS BIGINT) AS z_max_lat
+         |  FROM pts p JOIN rects r
+         |    ON r.poly_id % 12 = 3
+         |   AND p.lng BETWEEN r.p_min_lng AND r.p_max_lng
+         |   AND p.lat BETWEEN r.p_min_lat AND r.p_max_lat
+         |  GROUP BY 1)
+         |SELECT r.poly_id, coalesce(z.n, 0) AS n,
+         |       z.z_min_lng, z.z_min_lat, z.z_max_lng, z.z_max_lat
+         |FROM rects r LEFT JOIN z ON z.poly_id = r.poly_id
+         |WHERE r.poly_id % 12 = 3
+         |ORDER BY r.poly_id""".stripMargin,
 
     "q20_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -155,6 +155,38 @@ object SpatialJoin {
       .select("query_id", "doc_id")
   }
 
+  /** Spatial ANTI-join: the points contained by NO polygon (the
+    * complement of [[cellJoin]]'s semi-join side — outlier/offshore
+    * filtering in a cleaning pipeline). Matched doc_ids come from the
+    * same broadcast cell equi-join + exact PIP refinement, then one
+    * left_anti hash join on doc_id removes them; both joins broadcast
+    * or hash on a key, never a cross product, and the anti side
+    * deduplicates matches map-side (semi-join output is id-only).
+    */
+  def antiJoin(points: DataFrame, polys: DataFrame, res: Int = DefaultRes): DataFrame = {
+    val matched = cellJoin(points.select("doc_id", "lng", "lat"), polys, res)
+      .select("doc_id").distinct()
+    points.join(matched, Seq("doc_id"), "left_anti")
+  }
+
+  /** Zonal statistics: per-polygon aggregates over the contained points
+    * (count, extent of contained coordinates) — [[cellJoin]] + one
+    * map-side-combined groupBy. Polygons with no contained points are
+    * kept with n = 0 (the zonal contract), by left-joining the poly list
+    * against the BROADCAST aggregate output (per-poly rows — tiny by the
+    * cellJoin contract) — never a shuffle of either side.
+    */
+  def zonalStats(points: DataFrame, polys: DataFrame, res: Int = DefaultRes): DataFrame = {
+    val zones = cellJoin(points, polys, res)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n"),
+        min("lng").cast("long").as("z_min_lng"), min("lat").cast("long").as("z_min_lat"),
+        max("lng").cast("long").as("z_max_lng"), max("lat").cast("long").as("z_max_lat"))
+    polys.select("poly_id").join(broadcast(zones), Seq("poly_id"), "left_outer")
+      .select(col("poly_id"), coalesce(col("n"), lit(0L)).as("n"),
+        col("z_min_lng"), col("z_min_lat"), col("z_max_lng"), col("z_max_lat"))
+  }
+
   /** Test oracle for [[distanceJoin]]: cross join + exact predicate. */
   def distanceBruteForce(points: DataFrame, queries: DataFrame, radius: Long): DataFrame = {
     val dx = (col("lng").cast("long") - col("q_lng").cast("long")).cast("double")

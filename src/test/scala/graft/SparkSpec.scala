@@ -100,6 +100,33 @@ class SparkSpec extends AnyFunSuite {
     pyr.unpersist()
   }
 
+  test("spatial anti-join is the exact complement of the semi-join; zonal stats match SQL semantics") {
+    // subset rects {3, 15} so the complement is non-empty (the full grid
+    // tiles the world; at this SF every scattered doc sits in rect 0, so
+    // rect 0 must be excluded) and rect 3 is a genuinely empty zone
+    val sub = rects.where(col("poly_id") % 12 === 3)
+    val matched = SpatialJoin.bruteForce(geo, sub).select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    val anti = SpatialJoin.antiJoin(geo, sub).select("doc_id")
+      .collect().map(_.getString(0)).toSet
+    val all = geo.select("doc_id").collect().map(_.getString(0)).toSet
+    assert(anti == (all -- matched))
+    assert(anti.nonEmpty && matched.nonEmpty)
+    // zonal: per-poly count/extent over brute-force membership; empty
+    // polys kept with n = 0 and null extents
+    val zs = SpatialJoin.zonalStats(geo, sub).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    val bruteCounts = SpatialJoin.bruteForce(geo, sub).groupBy("poly_id")
+      .agg(count(lit(1)).as("n"), min("lng").cast("long").as("mn"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), Some(r.getLong(2)))).toMap
+    val polyIds = sub.select("poly_id").collect().map(_.getLong(0)).toSet
+    assert(zs.keySet == polyIds)
+    for (pid <- polyIds)
+      assert(zs(pid) == bruteCounts.getOrElse(pid, (0L, None)), s"poly $pid")
+    assert(polyIds.exists(pid => !bruteCounts.contains(pid)), "an empty zone must exist")
+  }
+
   test("span-sequence invariant: join output spans equal input spans per doc_id") {
     val out = SpatialJoin.cellJoin(geo, rects).select("doc_id", "spans")
     val in = docs.withColumnRenamed("spans", "spans_in")
