@@ -318,6 +318,50 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // STREAM-STATIC spatial join: the full composition a tailing
+    // pipeline runs — readStream over a growing .geomedea lake joined
+    // per micro-batch to the static polygon set (broadcast cell join +
+    // PIP refine, the q04 plan inside each batch), exactly-once across
+    // two appends. The oracle replays the aggregated join batch-side.
+    "q56_stream_spatial_join" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+      val lake = s"$base/lake"
+      val staged = s"$base/rows"
+      val rects = InterleavedDocs.nationRects(s, dir)
+      val framed = geo(s, dir)
+        .select(col("wkb"), col("doc_id"),
+          (pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(2L)) === 0L).as("first"))
+        .as[(Array[Byte], String, Boolean)]
+        .map { case (wkb, id, first) =>
+          (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
+            "doc", graft.codec.FeatureCodec.PString(id))), first)
+        }
+        .toDF("wkb", "props", "first")
+      def append(first: Boolean): Unit =
+        framed.where(col("first") === first).select("wkb", "props")
+          .repartition(2).write.format("geomedea").mode("append").save(lake)
+      def run(): Unit = {
+        val pts = s.readStream.format("geomedea").load(lake)
+          .select(element_at(col("prop_vals"), 1).as("doc_id"),
+            col("min_lng").as("lng"), col("min_lat").as("lat"))
+        val q = SpatialJoin.cellJoin(pts, rects)
+          .select(col("poly_id"), col("doc_id"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(staged); ()
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      append(first = true); run()
+      append(first = false); run()
+      s.read.parquet(staged)
+        .groupBy("poly_id").agg(count(lit(1)).as("n"))
+        .orderBy("poly_id")
+    }),
+
     // cell cover of build-side polygons (H3/S2 analog generator)
     "q10_cell_cover" -> ((s, dir) => {
       InterleavedDocs.nationRects(s, dir)
@@ -848,6 +892,12 @@ object SparkEntry {
          |       bx >> (6 - z.zoom) AS tile_x, by >> (6 - z.zoom) AS tile_y,
          |       CAST(sum(n) AS BIGINT) AS n
          |FROM base CROSS JOIN z GROUP BY 1, 2, 3, 4 ORDER BY zoom, tile_id""".stripMargin,
+
+    // join replay, aggregated: identical to q04's predicate, counted
+    "q56_stream_spatial_join" ->
+      s"""WITH $P, $R SELECT r.poly_id, count(*) AS n FROM pts p JOIN rects r
+         |ON p.lng BETWEEN r.p_min_lng AND r.p_max_lng AND p.lat BETWEEN r.p_min_lat AND r.p_max_lat
+         |GROUP BY 1 ORDER BY r.poly_id""".stripMargin,
 
     "q54_spatial_antijoin" ->
       s"""WITH $P, $R SELECT p.doc_id, p.lng, p.lat FROM pts p
