@@ -93,7 +93,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
+    val scalingRun = sys.env.get("SPARK_GRAFT_SCALING").contains("1")
+    // scaling mode defaults to 4x the docs: round-5 made the 2M-doc
+    // pipeline finish in under a second at 8 slices, so fixed per-job
+    // overhead (scheduling + codegen, ~0.3-0.5 s) dominated both levels
+    // and the measured N->4N efficiency collapsed toward the overhead
+    // ratio regardless of how the engine scaled; 8M docs amortizes it
+    // (measured: raw 0.57 / normalized 0.80 at 8M vs 0.34 / 0.47 at 2M
+    // in adjacent windows)
+    val nDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong)
+      .getOrElse(if (scalingRun) 8000000L else 2000000L)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -115,7 +124,7 @@ object Bench {
     // timed queries read this parquet table — the production path. File
     // count covers the largest scaling level, so coalesce(p) can always
     // reach p (a 32-file table would silently cap any 4N > 32 run).
-    val scalingMode = sys.env.get("SPARK_GRAFT_SCALING").contains("1")
+    val scalingMode = scalingRun
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
     val tableSlices = if (scalingMode) math.max(32, scaleN * 4) else 32
     val tableDir =
