@@ -1,7 +1,6 @@
 package graft.codec
 
 import java.io.ByteArrayOutputStream
-import scala.collection.mutable.ArrayBuffer
 
 /** Delta + zigzag + varint codec for coordinate-like int sequences.
   *
@@ -94,14 +93,16 @@ object DeltaZigZag {
       result
     }
     val n = varint().toInt
-    val out = new ArrayBuffer[Long](n)
+    // primitive array like decode(): a growable buffer boxes every
+    // element and allocates twice on the UDF hot path
+    val out = new Array[Long](n)
     var prev = 0L
     var i = 0
     while (i < n) {
       prev += unzigzag(varint())
-      out += prev
+      out(i) = prev
       i += 1
     }
-    out.toArray
+    out
   }
 }

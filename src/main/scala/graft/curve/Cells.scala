@@ -25,6 +25,15 @@ object Cells {
   final val WorldLatSpan = 1800000000L
   final val MaxRes = 9
 
+  /** Every public entry point validates: above MaxRes the cell widths
+    * stop being exact integers (breaking the DuckDB-oracle replay
+    * property this scheme exists for), and a negative res wraps the
+    * shift into garbage ids. Hilbert.chunk enforces its own range the
+    * same way.
+    */
+  @inline private def checkRes(res: Int): Unit =
+    require(res >= 0 && res <= MaxRes, s"cell res must be in [0, $MaxRes]; got $res")
+
   @inline def cellsPerAxis(res: Int): Long = 1L << res
   @inline def cellWidth(res: Int): Long = WorldLngSpan / cellsPerAxis(res)
   @inline def cellHeight(res: Int): Long = WorldLatSpan / cellsPerAxis(res)
@@ -39,13 +48,23 @@ object Cells {
     clamp((lat.toLong - WorldMinLat) / cellHeight(res), cellsPerAxis(res) - 1)
 
   /** Cell id of a point at resolution res. */
-  def cellId(lng: Int, lat: Int, res: Int): Long =
+  def cellId(lng: Int, lat: Int, res: Int): Long = {
+    checkRes(res)
     cellX(lng, res) * cellsPerAxis(res) + cellY(lat, res)
+  }
 
-  /** All cells intersecting an envelope (the polygon cover set). */
+  /** All cells intersecting an envelope (the polygon cover set); empty
+    * for an empty/inverted envelope — the clamp would otherwise turn an
+    * EMPTY geometry's inverted envelope into x0 > x1 whose product of
+    * negative spans goes positive, i.e. a large array of bogus cell-0
+    * entries joining everything at the world corner.
+    */
   def cover(env: Envelope, res: Int): Array[Long] = {
+    checkRes(res)
+    if (env.isEmpty) return Array.empty
     val x0 = cellX(env.minLng, res); val x1 = cellX(env.maxLng, res)
     val y0 = cellY(env.minLat, res); val y1 = cellY(env.maxLat, res)
+    if (x1 < x0 || y1 < y0) return Array.empty
     val n = ((x1 - x0 + 1) * (y1 - y0 + 1)).toInt
     val out = new Array[Long](n)
     var i = 0
@@ -66,6 +85,8 @@ object Cells {
     * world edge) — the kNN expansion primitive (SURVEY.md §2.11 "KRing").
     */
   def kRing(cell: Long, res: Int, k: Int): Array[Long] = {
+    checkRes(res)
+    require(k >= 0, s"kRing radius must be >= 0; got $k")
     val per = cellsPerAxis(res)
     val cx = cell / per
     val cy = cell % per

@@ -22,9 +22,16 @@ object PointInPolygon {
       val ring = rings(r)
       var i = 0
       val n = ring.length
-      while (i < n - 1) {
+      // edges wrap i -> (i+1) % n: WKT/WKB rings are SUPPOSED to repeat
+      // the first point last, but external emitters often leave rings
+      // unclosed and neither parser validates closure — without the wrap
+      // edge an unclosed ring silently misclassifies half the plane. For
+      // a properly closed ring the wrap edge is zero-length and changes
+      // nothing (no y-crossing; onSegment only re-reports the vertex).
+      while (i < n) {
+        val j = if (i + 1 == n) 0 else i + 1
         val x1 = Wkb.lngOf(ring(i)); val y1 = Wkb.latOf(ring(i))
-        val x2 = Wkb.lngOf(ring(i + 1)); val y2 = Wkb.latOf(ring(i + 1))
+        val x2 = Wkb.lngOf(ring(j)); val y2 = Wkb.latOf(ring(j))
         if (onSegment(x1, y1, x2, y2, lng, lat)) return true
         // half-open crossing rule [min(y1,y2), max(y1,y2))
         if ((y1 > lat) != (y2 > lat)) {

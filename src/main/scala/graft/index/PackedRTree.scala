@@ -134,6 +134,27 @@ final class PackedRTree(val numLeaves: Long, val bytes: Array[Byte]) extends Ser
   require(bytes.length.toLong == nodeCount(numLeaves) * NodeBytes,
     s"tree bytes ${bytes.length} != ${nodeCount(numLeaves) * NodeBytes} for $numLeaves leaves")
 
+  // level ranges and the leaf start are pure functions of numLeaves:
+  // computed ONCE per tree instance, never per probe — the broadcast
+  // R-tree join calls leafHits once per probe ROW, and rebuilding the
+  // per-level Vector there (and again inside every visited inner node's
+  // children lookup) made the hot path O(rows * nodes * depth) in
+  // redundant allocations
+  private val ranges: Vector[(Long, Long)] = nodeRangesByLevel(numLeaves)
+  private val leafStart: Long = if (ranges.isEmpty) 0L else ranges.last._1
+
+  /** [[PackedRTree.childrenRange]] over the cached ranges; caller
+    * guarantees `nodeIdx` is an inner node of a non-empty tree.
+    */
+  private def childRangeCached(nodeIdx: Long): (Long, Long) = {
+    var levelIdx = 0
+    while (!(nodeIdx >= ranges(levelIdx)._1 && nodeIdx < ranges(levelIdx)._2)) levelIdx += 1
+    val (levelStart, _) = ranges(levelIdx)
+    val (childStart, childEnd) = ranges(levelIdx + 1)
+    val first = childStart + (nodeIdx - levelStart) * Branching
+    (first, math.min(first + Branching, childEnd))
+  }
+
   @inline private def i32(off: Int): Int =
     (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
       ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
@@ -157,14 +178,13 @@ final class PackedRTree(val numLeaves: Long, val bytes: Array[Byte]) extends Ser
     if (numLeaves == 0) return Array.emptyLongArray
     val results = new mutable.ArrayBuilder.ofLong
     val queue = mutable.Queue[(Long, Long)]((0L, 1L))
-    val leafStart = nodeRangesByLevel(numLeaves).last._1
     while (queue.nonEmpty) {
       val (s, e) = queue.dequeue()
       var idx = s
       while (idx < e) {
         if (nodeEnvelope(idx).intersects(q)) {
           if (idx >= leafStart) results += idx
-          else childrenRange(numLeaves, idx).foreach(queue.enqueue(_))
+          else queue.enqueue(childRangeCached(idx))
         }
         idx += 1
       }

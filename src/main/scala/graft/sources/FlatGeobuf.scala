@@ -61,7 +61,7 @@ object FlatGeobuf {
   private val CShort = 3; private val CUShort = 4; private val CInt = 5
   private val CUInt = 6; private val CLong = 7; private val CULong = 8
   private val CFloat = 9; private val CDouble = 10; private val CString = 11
-  private val CJson = 12; private val CBinary = 14
+  private val CJson = 12; private val CDateTime = 13; private val CBinary = 14
 
   // ---------------------------------------------------------------------------
   // Minimal FlatBuffers builder: back-to-front writes, end-relative
@@ -414,7 +414,7 @@ object FlatGeobuf {
     case _: PVec | _: PMap => CJson
   }
 
-  private def propsBinary(props: Vector[(String, PValue)], colIdx: Map[String, Int],
+  private[graft] def propsBinary(props: Vector[(String, PValue)], colIdx: Map[String, Int],
                           colTypes: Array[Int]): Array[Byte] = {
     val w = new W()
     props.foreach { case (k, v) =>
@@ -465,7 +465,7 @@ object FlatGeobuf {
     } catch { case scala.util.control.NonFatal(_) => PString(txt) }
   }
 
-  private def readProps(bin: Array[Byte], colNames: Array[String],
+  private[graft] def readProps(bin: Array[Byte], colNames: Array[String],
                         colTypes: Array[Int]): Vector[(String, PValue)] = {
     val r = new R(bin)
     val out = Vector.newBuilder[(String, PValue)]
@@ -485,6 +485,10 @@ object FlatGeobuf {
         case CDouble => PFloat64(java.lang.Double.longBitsToDouble(r.u64()))
         case CString => PString(new String(r.take(r.u32().toInt), UTF_8))
         case CJson   => jsonProp(new String(r.take(r.u32().toInt), UTF_8))
+        // spec DateTime (13): ISO-8601 text, wire-identical to String —
+        // decoded as a string property so foreign files with date
+        // columns (common in GIS data) scan instead of throwing
+        case CDateTime => PString(new String(r.take(r.u32().toInt), UTF_8))
         case CBinary => PBytes(r.take(r.u32().toInt))
         case other   => throw new IllegalArgumentException(s"unsupported FGB column type $other")
       }
@@ -1042,6 +1046,11 @@ object FlatGeobuf {
       }
       val rel = (off - winStart).toInt
       val size = new FbBuf(win).i32(rel)
+      // same untrusted-prefix guard as the streaming scans: a corrupt
+      // leaf offset or damaged window must fail loudly, not allocate up
+      // to 2 GB and misparse a zero-padded block
+      require(size > 0 && h.featuresOffset + off + 4 + size.toLong <= fileLen,
+        s"corrupt feature size $size at feature offset $off")
       val block: Array[Byte] =
         if (rel + 4 + size <= win.length)
           java.util.Arrays.copyOfRange(win, rel, rel + 4 + size)

@@ -180,6 +180,35 @@ class CoreSpec extends AnyFunSuite {
     assert(!PointInPolygon.containsGeom(multi, ScaledCoord.toScaled(7), ScaledCoord.toScaled(7)))
   }
 
+  test("point-in-polygon: UNCLOSED rings classify like their closed twins") {
+    val c = (d: Double, e: Double) => Wkb.pack(ScaledCoord.toScaled(d), ScaledCoord.toScaled(e))
+    // same square/hole as the closed test, WITHOUT the repeated last
+    // point — external emitters produce these and neither parser
+    // validates closure; the implicit closing edge must be cast against
+    val ring = Array(c(0, 0), c(4, 0), c(4, 4), c(0, 4))
+    val hole = Array(c(1, 1), c(2, 1), c(2, 2), c(1, 2))
+    val poly = Wkb.Poly(Vector(ring, hole))
+    def pip(lng: Double, lat: Double) =
+      PointInPolygon.containsGeom(poly, ScaledCoord.toScaled(lng), ScaledCoord.toScaled(lat))
+    assert(pip(3, 3))        // interior
+    assert(!pip(5, 3))       // exterior
+    assert(!pip(-5, 2))      // exterior LEFT of the implicit closing edge
+    assert(!pip(1.5, 1.5))   // inside the hole
+    assert(pip(0, 2))        // ON the implicit closing edge -> closed
+    assert(pip(0, 0))        // vertex -> closed
+  }
+
+  test("cells: empty/inverted envelopes cover nothing; res out of range is rejected") {
+    // an EMPTY geometry's envelope is inverted (min > max): the clamp
+    // would turn it into a huge array of bogus cell-0 entries joining
+    // everything at the world corner
+    assert(Cells.cover(Envelope.empty, 4).isEmpty)
+    assert(Cells.cover(Envelope(10, 10, -10, 10), 9).isEmpty) // one axis inverted
+    intercept[IllegalArgumentException](Cells.cellId(0, 0, Cells.MaxRes + 1))
+    intercept[IllegalArgumentException](Cells.cover(Envelope(0, 0, 1, 1), -1))
+    intercept[IllegalArgumentException](Cells.kRing(0L, 4, -1))
+  }
+
   test("cells: cellId/cover/kRing/tile arithmetic") {
     val res = 4 // 16x16 grid, cell = 22.5 x 11.25 degrees
     // world corners

@@ -92,6 +92,19 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(FlatGeobuf.readHeader(patched).featuresCount == 1)
   }
 
+  test("foreign DateTime columns (spec type 13) decode as string properties") {
+    // DateTime is wire-identical to String (u32 length + UTF-8): encode
+    // under the String column type, decode under DateTime — a foreign
+    // file with date columns must scan, not throw. Our writer never
+    // emits type 13 (no PValue maps to it), so this is read-side-only.
+    val ts = "2020-01-31T23:59:59Z"
+    val bin = FlatGeobuf.propsBinary(
+      Vector("when" -> graft.codec.FeatureCodec.PString(ts)),
+      Map("when" -> 0), Array(11))
+    val decoded = FlatGeobuf.readProps(bin, Array("when"), Array(13))
+    assert(decoded == Vector("when" -> graft.codec.FeatureCodec.PString(ts)))
+  }
+
   test("DSv2 falls back for spec-legal index-less / unknown-count files (no prune, no crash)") {
     val spark = sparkSession
     import org.apache.spark.sql.functions._
