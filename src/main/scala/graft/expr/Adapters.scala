@@ -229,9 +229,13 @@ object Adapters {
     override def removeEldestEntry(e: JMap.Entry[Key, V]): Boolean = size() > max
   }
 
+  private def lruId[V](max: Int) = new JLinkedHashMap[IdKey, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: JMap.Entry[IdKey, V]): Boolean = size() > max
+  }
+
   private val geomCache = ThreadLocal.withInitial(() => lru[Wkb.Geom](256))
   private val envCache = ThreadLocal.withInitial(() => lru[graft.geom.Envelope](256))
-  private val treeCache = ThreadLocal.withInitial(() => lru[PackedRTree](8))
+  private val treeCache = ThreadLocal.withInitial(() => lruId[PackedRTree](8))
 
   /** Envelope via the allocation-free streaming scan ([[Wkb.envelopeOf]]);
     * large blobs additionally memoize the result so repeated build-side
@@ -257,9 +261,23 @@ object Adapters {
     g
   }
 
+  /** Identity key: the tree literal is the SAME array instance for every
+    * row a task probes, so reference equality is the right cache key —
+    * content-hashing the (up to 8 MiB) serialized tree per probe row
+    * cost more than the O(log n) BFS the cache guards. Distinct
+    * instances with equal content just occupy separate LRU slots.
+    */
+  private final class IdKey(val arr: Array[Byte]) {
+    override def hashCode: Int = System.identityHashCode(arr)
+    override def equals(o: Any): Boolean = o match {
+      case k: IdKey => k.arr eq arr
+      case _        => false
+    }
+  }
+
   private def cachedTree(bytes: Array[Byte], numLeaves: Long): PackedRTree = {
     val cache = treeCache.get()
-    val k = new Key(bytes)
+    val k = new IdKey(bytes)
     var t = cache.get(k)
     if (t == null) { t = new PackedRTree(numLeaves, bytes); cache.put(k, t) }
     t

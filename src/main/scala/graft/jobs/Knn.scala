@@ -94,7 +94,10 @@ object Knn {
     // driver-side ring planning while the query set is broadcastable; the
     // limit bounds the probing collect itself, so an oversized set costs
     // maxBroadcast+1 rows of driver memory, never the full set
-    val qRows: Array[Row] = queries.select("query_id", "q_lng", "q_lat")
+    // same casts as the distributed branch below: the driver branch must
+    // not crash on int query ids / long coords the other path accepts
+    val qRows: Array[Row] = queries.select(col("query_id").cast("long"),
+        col("q_lng").cast("int"), col("q_lat").cast("int"))
       .limit(maxBroadcast + 1).collect()
     val broadcastable = qRows.length <= maxBroadcast
     val qcells: DataFrame = if (broadcastable) {

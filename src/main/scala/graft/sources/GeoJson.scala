@@ -235,7 +235,9 @@ object GeoJson {
 
   def feature(j: J): Feature = {
     val o = j.asInstanceOf[JObj]
-    val geom = o.get("geometry").map(geometry)
+    // RFC 7946 allows "geometry": null for unlocated features — same
+    // degradation path as a missing key, never a cast crash
+    val geom = o.get("geometry").filter(_ != JNull).map(geometry)
       .getOrElse(Wkb.Pt(0, 0)) // geometry-less degrades to POINT(0 0), geozero_writer.rs:50-61
     val props = o.get("properties") match {
       case Some(JObj(fields)) =>

@@ -29,12 +29,24 @@ object StreamAgg {
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, start: Long, end: Long, n: Long, total: Double)
 
-  /** Gap-based sessionization per user via flatMapGroupsWithState:
-    * events within `gapMinutes` of the session's end extend it; a larger
-    * gap closes and emits it; the event-time timeout (watermark + gap)
-    * flushes a user's open session once no on-time event can extend it.
-    * State per key is one small Session — O(users) state, no event
-    * buffering.
+  /** State for [[sessionize]]: the user's sessions still extendable by
+    * an on-time event, disjoint and separated by more than the gap.
+    */
+  final case class OpenSessions(open: Seq[Session])
+
+  /** Gap-based sessionization per user via flatMapGroupsWithState.
+    * State per key is the user's OPEN sessions (those an on-time event
+    * could still extend) — a LIST, not just the newest one: an
+    * out-of-order event inside the watermark may open a session BEFORE
+    * the current one, or bridge two of them, and single-session state
+    * silently merged such events into whatever happened to be open
+    * (wrong start, wrong count — the batch oracle disagreed). Each batch
+    * interval-merges state + events (sort by start, join runs whose
+    * gap <= gapMs), emits every session the watermark has sealed
+    * (end + gap <= watermark: no on-time event can extend it), and
+    * keeps the rest with an event-time timeout at the earliest seal
+    * point. State is O(sessions-per-watermark-window), still bounded —
+    * never an event buffer.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30,
                  watermark: String = "2 hours"): Dataset[Session] = {
@@ -42,35 +54,34 @@ object StreamAgg {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
 
-    def fn(userId: Long, rows: Iterator[Ev], state: GroupState[Session]): Iterator[Session] = {
-      if (rows.isEmpty && state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator(s)
-      } else {
-        val evs = rows.toArray.sortBy(_.ts.getTime)
-        val closed = Vector.newBuilder[Session]
-        var cur = state.getOption
-        evs.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t - s.end <= gapMs =>
-              cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
-            case Some(s) =>
-              closed += s
-              cur = Some(Session(userId, t, t, 1, e.value))
-            case None =>
-              cur = Some(Session(userId, t, t, 1, e.value))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          // flush once the watermark passes end + gap (no on-time event
-          // can extend this session any more)
-          state.setTimeoutTimestamp(s.end + gapMs)
-        }
-        closed.result().iterator
+    def fn(userId: Long, rows: Iterator[Ev],
+           state: GroupState[OpenSessions]): Iterator[Session] = {
+      val wm = state.getCurrentWatermarkMs()
+      val prior = state.getOption.map(_.open).getOrElse(Seq.empty)
+      val units = rows.map(e =>
+        Session(userId, e.ts.getTime, e.ts.getTime, 1, e.value)).toVector
+      val all = (prior ++ units).sortBy(s => (s.start, s.end))
+      val merged = Vector.newBuilder[Session]
+      var cur: Session = null
+      all.foreach { s =>
+        if (cur == null) cur = s
+        else if (s.start - cur.end <= gapMs)
+          cur = Session(userId, cur.start, math.max(cur.end, s.end),
+            cur.n + s.n, cur.total + s.total)
+        else { merged += cur; cur = s }
       }
+      if (cur != null) merged += cur
+      // sealed at <=: a would-be extender of such a session has
+      // ts <= end + gap <= wm, i.e. at-or-behind the watermark (dropped
+      // before reaching this function) — and the strict > on the kept
+      // side keeps setTimeoutTimestamp legal (must exceed the watermark)
+      val (closed, open) = merged.result().partition(_.end + gapMs <= wm)
+      if (open.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(OpenSessions(open))
+        state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
+      }
+      closed.iterator
     }
 
     events

@@ -39,20 +39,31 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // IDEMPOTENT under replay: each micro-batch owns a partition dir
+        // (batch_id=N) written with OVERWRITE — a batch replayed after a
+        // crash between its write and the checkpoint commit replaces its
+        // own residue instead of appending duplicate rows (a flat append
+        // dir cannot be made replay-safe). Readers of $outDir/docs see
+        // batch_id as a discovered partition column.
         val geo = InterleavedDocs.withGeometry(batch)
           .withColumn("hilbert", gmHilbert(col("lng"), col("lat"),
             lit(-1800000000), lit(-900000000), lit(1800000000), lit(900000000)))
-        geo.write.mode("append").option("compression", "zstd")
-          .option("parquet.compression.codec.zstd.level", "1") // see Ingest.write
-          .parquet(s"$outDir/docs")
-        geo.groupBy(lit(batchId).as("batch_id"))
-          .agg(
-            count(lit(1)).as("rows"),
-            min("hilbert").as("min_hilbert"), max("hilbert").as("max_hilbert"),
-            min("min_lng").as("min_lng"), min("min_lat").as("min_lat"),
-            max("max_lng").as("max_lng"), max("max_lat").as("max_lat"),
-            expr("bit_xor(xxhash64(doc_id))").as("checksum"))
-          .write.mode("append").parquet(s"$outDir/_stream_lineage")
+          // ONE scan per batch: the docs write and the lineage aggregate
+          // are two actions over the same parsed batch
+          .persist()
+        try {
+          geo.write.mode("overwrite").option("compression", "zstd")
+            .option("parquet.compression.codec.zstd.level", "1") // see Ingest.write
+            .parquet(s"$outDir/docs/batch_id=$batchId")
+          geo.groupBy()
+            .agg(
+              count(lit(1)).as("rows"),
+              min("hilbert").as("min_hilbert"), max("hilbert").as("max_hilbert"),
+              min("min_lng").as("min_lng"), min("min_lat").as("min_lat"),
+              max("max_lng").as("max_lng"), max("max_lat").as("max_lat"),
+              expr("bit_xor(xxhash64(doc_id))").as("checksum"))
+            .write.mode("overwrite").parquet(s"$outDir/_stream_lineage/batch_id=$batchId")
+        } finally geo.unpersist()
         batches.incrementAndGet()
         ()
       }

@@ -14,9 +14,17 @@ object Info {
     val sb = new StringBuilder
     val s = Describe.summary(spark, tableDir).head()
     sb.append(s"table: $tableDir\n")
-    sb.append(s"doc_count: ${s.getLong(0)}  file_count: ${s.getLong(1)}\n")
-    sb.append(s"hilbert: ${s.getLong(2)}..${s.getLong(3)}\n")
-    sb.append(s"extent: RECT(${s.getInt(4)} ${s.getInt(5)},${s.getInt(6)} ${s.getInt(7)})\n")
+    // a zero-doc ingest publishes an EMPTY lineage snapshot: the sums and
+    // mins above come back SQL NULL and the primitive getters would NPE —
+    // same guard LakeHealth.parquetTable applies
+    if (s.isNullAt(0)) {
+      sb.append("doc_count: 0  file_count: 0\n")
+      sb.append("hilbert: -\nextent: EMPTY\n")
+    } else {
+      sb.append(s"doc_count: ${s.getLong(0)}  file_count: ${s.getLong(1)}\n")
+      sb.append(s"hilbert: ${s.getLong(2)}..${s.getLong(3)}\n")
+      sb.append(s"extent: RECT(${s.getInt(4)} ${s.getInt(5)},${s.getInt(6)} ${s.getInt(7)})\n")
+    }
     sb.append(s"snapshots: ${Ingest.snapshots(spark, tableDir).mkString(", ")}\n")
     sb.append("layout (hilbert-desc):\n")
     Describe.layout(spark, tableDir).collect().foreach { r =>
@@ -70,9 +78,12 @@ object Info {
     val p = new org.apache.hadoop.fs.Path(args(0))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val suffixes = Seq(".geomedea", ".fgb")
+    // FILES only, like LakeHealth.describe — a parquet table containing a
+    // subdirectory named *.fgb must not misclassify as a lake
     val lakeSuffix =
       if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
-        suffixes.find(sf => fs.listStatus(p).exists(_.getPath.getName.endsWith(sf)))
+        suffixes.find(sf => fs.listStatus(p).exists(s =>
+          s.isFile && s.getPath.getName.endsWith(sf)))
       else None
     lakeSuffix match {
       case Some(sf) => print(renderLake(spark, args(0), sf))

@@ -152,6 +152,15 @@ class StreamAndAggSpec extends AnyFunSuite {
         Seq((20L, ts(1.0), 2L, "view", 5.0), (21L, ts(1.2), 2L, "view", 5.0))
     write("a", evs)
     run()
+    // OUT-OF-ORDER but inside the watermark (wm after batch a = 2.33h in
+    // ts() args), arriving a batch LATER: one event strictly between
+    // user 1's sessions (a separate singleton — single-session state
+    // used to merge it into whatever was open), and one just before the
+    // open session's start (must extend it BACKWARD — start was never
+    // lowered before)
+    val late = Seq((30L, ts(2.4), 1L, "view", 3.0), (31L, ts(2.95), 1L, "view", 7.0))
+    write("a2", late)
+    run()
     // sentinel phases: advance the watermark so every real session's
     // event-time timeout fires and flushes it
     write("b", Seq((900L, ts(100), 999L, "view", 0.0)))
@@ -163,11 +172,13 @@ class StreamAndAggSpec extends AnyFunSuite {
       .select("user_id", "start", "end", "n", "total")
       .collect().map(_.toSeq).toSet
     val oracle = graft.streaming.StreamAgg.sessionizeBatch(
-        evs.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        (evs ++ late).toDF("event_id", "ts", "user_id", "event_type", "value"))
       .select("user_id", "start", "end", "n", "total")
       .collect().map(_.toSeq).toSet
     assert(emitted == oracle, s"emitted $emitted != oracle $oracle")
-    assert(emitted.size == 3) // two sessions for user 1, one for user 2
+    // three sessions for user 1 (the late singleton stays separate, the
+    // backward-extender joins the last session), one for user 2
+    assert(emitted.size == 4)
   }
 
   test("native format -> streaming agg: readStream(geomedea) feeds a grouped aggregation") {
