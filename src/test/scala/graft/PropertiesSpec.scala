@@ -244,6 +244,20 @@ object PropertiesSpec extends Properties("graft") {
       r.isEmpty || r.nonEmpty // reached without throwing
     }
 
+  property("streaming-offset JSON roundtrips for arbitrary shard names (quoting exact)") =
+    Prop.forAll(
+      Gen.chooseNum(0L, Long.MaxValue / 2),
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n,
+        // exercise the hand-rolled quoting/scanning: quotes, backslashes,
+        // control chars, ']' and '}' inside names, unicode
+        Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('"', '\\', ']', '}', ',', '\n', '\t', 'ü', '')))
+          .map(_.mkString).suchThat(_.nonEmpty)))) { (gen: Long, names: List[String]) =>
+      val off = graft.sources.v2.GeomedeaOffset(gen, names)
+      val back = graft.sources.v2.GeomedeaOffset.fromJson(off.json())
+      // json() canonicalizes to the sorted name set
+      back.gen == gen && back.files == names.sorted
+    }
+
   property("manifest parser never throws on arbitrary bytes (None/Some, planner falls back)") =
     Prop.forAll(Gen.choose(0, 400).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))) { bs: List[Byte] =>
