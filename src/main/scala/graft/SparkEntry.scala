@@ -2,7 +2,7 @@ package graft
 
 import graft.expr.GraftFunctions._
 import graft.geom.Envelope
-import graft.jobs.{Dedup, Ingest, Knn, Media, Similarity, SpatialJoin, TextOps, Tiles}
+import graft.jobs.{AsOf, Dedup, Ingest, Knn, Media, Similarity, SpatialJoin, TextOps, Tiles}
 import graft.table.InterleavedDocs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -551,6 +551,30 @@ object SparkEntry {
         .orderBy("poly_id")
     }),
 
+    // polygon x polygon envelope-intersection join: cell covers on BOTH
+    // sides, equi-join on cell, exactly-once emission from the cell owning
+    // the intersection's min corner (no distinct shuffle)
+    "q59_poly_poly_join" -> ((s, dir) => {
+      SpatialJoin.polyPolyJoin(InterleavedDocs.nationRects(s, dir),
+          InterleavedDocs.regionRects(s, dir))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // as-of (point-in-time) join: each purchase event picks up the same
+    // user's latest click at-or-before it — union + single-shuffle window,
+    // no join node, left-outer null for never-clicked users
+    "q57_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+      AsOf.join(purchases, clicks, "user_id", "ts", "ts", Seq("click_id", "value"))
+        .select(col("event_id"), col("asof.click_id").as("click_id"),
+          col("asof.value").as("click_value"))
+        .orderBy("event_id")
+    }),
+
     // relational coverage: agg, broadcast join + top-n, window
     "q20_lineitem_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -666,6 +690,14 @@ object SparkEntry {
     "q38_text_langid" -> ((s, dir) => {
       TextOps.langId(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
         .orderBy("doc_id")
+    }),
+
+    // TF-IDF distinctive terms, top-3 per doc: explode -> two map-side
+    // combined aggs -> term equi-join -> integer idf_milli scoring ->
+    // per-doc window top-k (all-integer score, hash-exact cross-engine)
+    "q58_tfidf_terms" -> ((s, dir) => {
+      TextOps.tfidfTop(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), 3)
+        .orderBy("doc_id", "rank")
     }),
 
     // document fingerprints (oracled: rolling mod-2^61-1 + winnowing
@@ -922,6 +954,54 @@ object SparkEntry {
          |FROM rects r LEFT JOIN z ON z.poly_id = r.poly_id
          |WHERE r.poly_id % 12 = 3
          |ORDER BY r.poly_id""".stripMargin,
+
+    "q59_poly_poly_join" ->
+      s"""WITH $R, ${InterleavedDocs.OracleSqlRegionRects}
+         |SELECT a.poly_id AS a_id, b.poly_id AS b_id
+         |FROM rects a JOIN rrects b
+         |  ON a.p_max_lng >= b.p_min_lng AND b.p_max_lng >= a.p_min_lng
+         | AND a.p_max_lat >= b.p_min_lat AND b.p_max_lat >= a.p_min_lat
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q57_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'click'
+        |), m AS (
+        |  SELECT p.event_id,
+        |         arg_max(c.click_id, c.ts) AS click_id,
+        |         arg_max(c.value, c.ts) AS click_value
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        |  GROUP BY p.event_id
+        |)
+        |SELECT p.event_id, m.click_id, m.click_value
+        |FROM p LEFT JOIN m ON m.event_id = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q58_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.t AS term
+        |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE u.t <> ''
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         tf.tf * CAST(round(ln(n.n_docs / df.df) * 1000) AS BIGINT) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "q20_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -1,0 +1,74 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of (point-in-time) join: for every left row, attach the
+  * most recent right row of the same key whose time is at-or-before the
+  * left row's time — the standard "latest state as of event time" lookup
+  * of feature-store / market-data pipelines. The reference engine has no
+  * temporal operator; this is one of the scale-path extras (alongside
+  * dedup/ANN) that a training-data pipeline over the same tables needs.
+  *
+  * Scale shape — deliberately NOT a join node: a time-range theta-join
+  * would plan as a cross product per key, and an interval-bucketed
+  * equi-join needs a bucket width chosen from the data. Instead both
+  * sides are tagged and unioned, hash-partitioned ONCE on the key, and a
+  * running `last(payload, ignoreNulls)` window ordered by (time, side)
+  * carries the latest right payload onto each left row:
+  *
+  *   - exactly one shuffle (the window's hashpartitioning), no Join node,
+  *     no cross product, no bucket-width tuning;
+  *   - per-key work is the sort Spark would do for any window — O(n log n)
+  *     rows per key, O(1) carried state;
+  *   - right rows at exactly the left row's time DO match (side tag sorts
+  *     the right row first at equal times — closed "<=" semantics, the
+  *     temporal analog of the engine's closed-interval bbox convention);
+  *   - a left row with no prior right row keeps a NULL payload (left-outer
+  *     semantics), so no rows are silently dropped.
+  *
+  * A pathologically hot single key serializes inside one task (window
+  * semantics require it); for that shape, range-partition the time axis
+  * per key and stitch the boundary rows — not needed for key cardinality
+  * >= cluster parallelism, the common case.
+  */
+object AsOf {
+
+  /** @param left     probe side; all its columns are preserved
+    * @param right    build side; must contain `key`, `rightTime`, `payload`
+    * @param key      equi-key column present on both sides
+    * @param leftTime event-time column on `left`
+    * @param rightTime event-time column on `right`
+    * @param payload  right columns carried onto matches (returned as a
+    *                 nullable struct column `asof`; NULL = no match yet)
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(payload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    val leftStruct = struct(leftCols.map(col): _*)
+    val leftType = left.select(leftStruct).schema.head.dataType
+
+    val l = left.select(
+      col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      lit(null).cast(payloadType).as("__p"), leftStruct.as("__l"))
+    val r = right.select(
+      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      payloadStruct.as("__p"), lit(null).cast(leftType).as("__l"))
+
+    // Right rows sort before left rows at equal time (inclusive <=); the
+    // payload itself is the final tiebreak so duplicate (key, time) right
+    // rows resolve deterministically.
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("asof", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__l.*"), col("asof"))
+  }
+}

@@ -187,6 +187,42 @@ object SpatialJoin {
         col("z_min_lng"), col("z_min_lat"), col("z_max_lng"), col("z_max_lat"))
   }
 
+  /** Polygon x polygon envelope-intersection join (overlay planning /
+    * coverage analysis): both sides explode to their cell covers, the
+    * covers equi-join on cell, and each intersecting pair is emitted
+    * EXACTLY ONCE with no distinct/dedup shuffle — only the cell that
+    * contains the intersection rectangle's min corner reports the pair.
+    * That corner (greatest of the min-lngs, greatest of the min-lats) lies
+    * inside BOTH envelopes whenever they intersect (closed intervals), so
+    * its cell is in both covers and the pair survives in exactly one cell.
+    *
+    * Scale shape: the join is a plain equi-join on the cell key (hash or
+    * broadcast, AQE-balanced) over cover-sized inputs; a pair overlapping
+    * m cells costs m joined rows but only cheap integer comparisons to
+    * discard m-1 of them — the classic "report-once" partition-join trick,
+    * avoiding the global distinct a naive cover join needs.
+    *
+    * Both inputs use the polys contract (poly_id, p_min/max_lng/lat);
+    * output (a_id, b_id) per intersecting pair.
+    */
+  def polyPolyJoin(a: DataFrame, b: DataFrame, res: Int = DefaultRes): DataFrame = {
+    def sideCells(p: DataFrame, tag: String): DataFrame =
+      p.select(col("poly_id").as(s"${tag}_id"),
+          col("p_min_lng").as(s"${tag}_min_lng"), col("p_min_lat").as(s"${tag}_min_lat"),
+          col("p_max_lng").as(s"${tag}_max_lng"), col("p_max_lat").as(s"${tag}_max_lat"))
+        .withColumn("cell", explode(gmCellCover(
+          col(s"${tag}_min_lng"), col(s"${tag}_min_lat"),
+          col(s"${tag}_max_lng"), col(s"${tag}_max_lat"), res)))
+    val cornerLng = greatest(col("a_min_lng"), col("b_min_lng"))
+    val cornerLat = greatest(col("a_min_lat"), col("b_min_lat"))
+    sideCells(a, "a").join(broadcast(sideCells(b, "b")), Seq("cell"))
+      .where(
+        col("a_max_lng") >= col("b_min_lng") && col("b_max_lng") >= col("a_min_lng") &&
+          col("a_max_lat") >= col("b_min_lat") && col("b_max_lat") >= col("a_min_lat") &&
+          col("cell") === gmCell(cornerLng, cornerLat, res))
+      .select("a_id", "b_id")
+  }
+
   /** Test oracle for [[distanceJoin]]: cross join + exact predicate. */
   def distanceBruteForce(points: DataFrame, queries: DataFrame, radius: Long): DataFrame = {
     val dx = (col("lng").cast("long") - col("q_lng").cast("long")).cast("double")

@@ -48,6 +48,39 @@ object TextOps {
         .when(col("text").like("% el %") || col("text").like("% los %"), "es")
         .otherwise("und").as("lang_pred"))
 
+  /** TF-IDF distinctive terms: lowercase alnum tokens, per-(doc, term)
+    * TF, per-term DF, integer `idf_milli = round(1000 * ln(N / df))`
+    * (integer-safe cross-engine: the round boundary is never within 8e-6
+    * of any reachable N/df at verify scale, vs ~1e-13 double ulp error),
+    * `score = tf * idf_milli`, top-k terms per doc by (score desc, term).
+    *
+    * Scale shape: one explode -> map-side-combined (doc, term) count ->
+    * map-side-combined term count (the DF table is vocabulary-sized, far
+    * smaller than the corpus) -> equi-join TF x DF on term (Catalyst/AQE
+    * picks broadcast while the vocabulary fits, shuffle-hash past it; no
+    * hint so the 100 TB plan degrades gracefully) -> corpus count joined
+    * as a broadcast single row -> per-doc window top-k (bounded state).
+    * The corpus is scanned once for tokens and once for N — N comes from
+    * the same narrow scan Catalyst prunes to zero data columns.
+    */
+  def tfidfTop(corpus: DataFrame, k: Int): DataFrame = {
+    val toks = corpus.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = corpus.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * round(log(col("n_docs") / col("df")) * 1000).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Fingerprints: order-sensitive rolling hash + winnowing min-shingle. */
   def fingerprints(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"),

@@ -128,6 +128,38 @@ object InterleavedDocs {
       |  FROM nation
       |)""".stripMargin
 
+  /** Second polygon set for polygon x polygon joins: a 3x2 grid of larger
+    * rectangles derived from `region` (r_regionkey 0..4, constant across
+    * scale factors), offset from the nation grid so every region rect
+    * straddles several nation rects and no corners coincide (the
+    * exactly-once emission rule is exercised on real multi-cell overlaps).
+    */
+  def regionRects(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = spark.read.parquet(s"$sfDir/region.parquet")
+    val k = col("r_regionkey").cast("long")
+    val colIdx = k % 3
+    val rowIdx = floor(k / 3).cast("long")
+    val minLng = lit(-1620000000L) + colIdx * 900000000L
+    val minLat = lit(-810000000L) + rowIdx * 540000000L
+    r.select(
+      k.as("poly_id"),
+      stRectWkb(minLng, minLat, minLng + 900000000L, minLat + 540000000L).as("poly_wkb"),
+      minLng.cast("int").as("p_min_lng"), minLat.cast("int").as("p_min_lat"),
+      (minLng + 900000000L).cast("int").as("p_max_lng"),
+      (minLat + 540000000L).cast("int").as("p_max_lat"))
+  }
+
+  /** The same region rectangles in DuckDB SQL. */
+  val OracleSqlRegionRects: String =
+    """rrects AS (
+      |  SELECT CAST(r_regionkey AS BIGINT) AS poly_id,
+      |         -1620000000 + (CAST(r_regionkey AS BIGINT) % 3) * 900000000 AS p_min_lng,
+      |         -810000000 + (CAST(r_regionkey AS BIGINT) // 3) * 540000000 AS p_min_lat,
+      |         -1620000000 + (CAST(r_regionkey AS BIGINT) % 3) * 900000000 + 900000000 AS p_max_lng,
+      |         -810000000 + (CAST(r_regionkey AS BIGINT) // 3) * 540000000 + 540000000 AS p_max_lat
+      |  FROM region
+      |)""".stripMargin
+
   /** Query points for kNN, derived from `nation` (25 rows). */
   def nationQueryPoints(spark: SparkSession, sfDir: String): DataFrame = {
     val n = spark.read.parquet(s"$sfDir/nation.parquet")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.jobs.{Dedup, Media, Similarity, TextOps}
+import graft.jobs.{AsOf, Dedup, Media, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -259,6 +259,68 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(all.join(src, "doc_id").where(col("n_chars") =!= col("n_chars_src")).count() == 0)
     // langid emits a prediction for every row
     assert(TextOps.langId(corpus).where(col("lang_pred").isNull).count() == 0)
+  }
+
+  test("tfidf top terms equal a brute single-process recomputation") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").select("doc_id", "text")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+    val tf = rows.flatMap { case (id, t) => toks(t).map((id, _)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = rows.length.toDouble
+    val expected = tf.toSeq.map { case ((id, term), f) =>
+      val score = f * math.round(math.log(n / df(term)) * 1000)
+      (id, term, f, df(term), score)
+    }.groupBy(_._1).flatMap { case (id, ts) =>
+      ts.sortBy(t => (-t._5, t._2)).take(3).zipWithIndex.map { case ((_, term, f, d, sc), i) =>
+        (id, (i + 1).toLong, term, f, d, sc)
+      }
+    }.toSet
+    val got = TextOps.tfidfTop(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("as-of join equals brute force on events; closed <=, null no-match, dup-time determinism") {
+    val s = spark
+    import s.implicits._
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val p = ev.where(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+    def micros(r: org.apache.spark.sql.Row, i: Int): Long = {
+      val dt = r.getAs[java.time.LocalDateTime](i)
+      dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dt.getNano / 1000L
+    }
+    val clicks = c.collect().map(r => (r.getLong(0), micros(r, 1), r.getLong(2)))
+    val brute = p.collect().map { r =>
+      val (eid, uid, t) = (r.getLong(0), r.getLong(1), micros(r, 2))
+      val best = clicks.filter(x => x._1 == uid && x._2 <= t)
+      eid -> (if (best.isEmpty) -1L else best.maxBy(x => (x._2, x._3))._3)
+    }.toMap
+    assert(brute.nonEmpty && brute.valuesIterator.exists(_ >= 0L))
+    val got = AsOf.join(p, c, "user_id", "ts", "ts", Seq("click_id", "value"))
+      .select(col("event_id"), col("asof.click_id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == brute)
+
+    // synthetic edges on a plain long time axis: a right row AT the left
+    // time matches (closed <=); a left row before any right row gets
+    // NULL; duplicate (key, time) right rows resolve to the max payload
+    val left = Seq((1L, 10L), (2L, 5L), (3L, 20L), (4L, 0L))
+      .toDF("id", "t")
+    val right = Seq((1L, 10L, 100L), (1L, 9L, 90L), (2L, 6L, 60L),
+        (3L, 15L, 150L), (3L, 15L, 151L))
+      .toDF("key", "t", "v")
+      .withColumnRenamed("key", "id")
+    val out = AsOf.join(left, right, "id", "t", "t", Seq("v"))
+      .select(col("id"), col("asof.v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(1L -> 100L, 2L -> -1L, 3L -> 151L, 4L -> -1L))
   }
 
   test("fingerprints: deterministic, order-sensitive, dup-preserving") {

@@ -2,7 +2,7 @@ package graft
 
 import graft.codec.FeatureCodec.{Feature, PInt64}
 import graft.geom.{Envelope, ScaledCoord, Wkb}
-import graft.jobs.{Ingest, SpatialJoin, Similarity}
+import graft.jobs.{AsOf, Ingest, SpatialJoin, Similarity}
 import graft.table.{InterleavedDocs, ScanMetrics}
 import graft.sources.GeomedeaFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -68,6 +68,29 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"), s)
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("as-of join plans as union + ONE key shuffle + window — no join node at all") {
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val p = ev.where(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+    val df = AsOf.join(p, c, "user_id", "ts", "ts", Seq("click_id", "value"))
+    val s = plan(df)
+    assert(!s.contains("Join") && !s.contains("CartesianProduct"), s)
+    assert(s.contains("Window"), s)
+    // exchanges materialize in the executed plan: exactly one, on the key
+    val e = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(__k".r.findAllIn(e).length == 1 &&
+      !e.contains("Exchange rangepartitioning"),
+      s"expected exactly one key shuffle:\n$e")
+  }
+
+  test("polyPolyJoin plans a cell equi-join with exactly-once corner filter — never a cross product") {
+    val regions = InterleavedDocs.regionRects(spark, Sf)
+    val p = plan(SpatialJoin.polyPolyJoin(rects, regions))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("tile pyramid scans the raw table ONCE and re-aggregates only the base grid") {

@@ -127,6 +127,45 @@ class SparkSpec extends AnyFunSuite {
     assert(polyIds.exists(pid => !bruteCounts.contains(pid)), "an empty zone must exist")
   }
 
+  test("polygon x polygon cover join equals brute force and emits each pair exactly once") {
+    val s = spark
+    import s.implicits._
+    val regions = InterleavedDocs.regionRects(spark, Sf)
+    def brute(a: DataFrame, b: DataFrame): Set[(Long, Long)] = {
+      val ar = a.collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      val br = b.collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      (for {
+        (ai, amnx, amny, amxx, amxy) <- ar
+        (bi, bmnx, bmny, bmxx, bmxy) <- br
+        if amxx >= bmnx && bmxx >= amnx && amxy >= bmny && bmxy >= amny
+      } yield (ai, bi)).toSet
+    }
+    for (res <- Seq(2, 4, 6)) {
+      val got = SpatialJoin.polyPolyJoin(rects, regions, res)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"res=$res: duplicate pair emitted")
+      assert(got.toSet == brute(rects, regions), s"res=$res")
+    }
+    // touching edges (closed-interval contract): rects sharing only a
+    // boundary line / corner DO intersect and appear exactly once
+    def rectDf(rows: Seq[(Long, Int, Int, Int, Int)]): DataFrame =
+      rows.toDF("poly_id", "p_min_lng", "p_min_lat", "p_max_lng", "p_max_lat")
+        .select(col("poly_id"),
+          GraftFunctions.stRectWkb(col("p_min_lng"), col("p_min_lat"),
+            col("p_max_lng"), col("p_max_lat")).as("poly_wkb"),
+          col("p_min_lng"), col("p_min_lat"), col("p_max_lng"), col("p_max_lat"))
+    val left = rectDf(Seq((1L, 0, 0, 100, 100), (2L, -500, -500, -300, -300)))
+    val right = rectDf(Seq(
+      (10L, 100, 0, 200, 100),   // shares the lng=100 edge with 1
+      (11L, 100, 100, 200, 200), // shares only the corner (100,100) with 1
+      (12L, 50, 50, 60, 60),     // fully inside 1
+      (13L, 900, 900, 950, 950)))// disjoint from both
+    val got = SpatialJoin.polyPolyJoin(left, right, res = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "edge/corner pairs must not duplicate")
+    assert(got.toSet == Set((1L, 10L), (1L, 11L), (1L, 12L)))
+  }
+
   test("span-sequence invariant: join output spans equal input spans per doc_id") {
     val out = SpatialJoin.cellJoin(geo, rects).select("doc_id", "spans")
     val in = docs.withColumnRenamed("spans", "spans_in")
