@@ -47,6 +47,8 @@ object AsOf {
            leftTime: String, rightTime: String,
            payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(!leftCols.contains("asof"),
+      "left side must not already have a column named 'asof' (the match struct)")
     val payloadStruct = struct(payload.map(col): _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
     val leftStruct = struct(leftCols.map(col): _*)

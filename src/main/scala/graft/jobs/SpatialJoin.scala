@@ -205,7 +205,8 @@ object SpatialJoin {
     * Both inputs use the polys contract (poly_id, p_min/max_lng/lat);
     * output (a_id, b_id) per intersecting pair.
     */
-  def polyPolyJoin(a: DataFrame, b: DataFrame, res: Int = DefaultRes): DataFrame = {
+  def polyPolyJoin(a: DataFrame, b: DataFrame, res: Int = DefaultRes,
+                   broadcastB: Boolean = true): DataFrame = {
     def sideCells(p: DataFrame, tag: String): DataFrame =
       p.select(col("poly_id").as(s"${tag}_id"),
           col("p_min_lng").as(s"${tag}_min_lng"), col("p_min_lat").as(s"${tag}_min_lat"),
@@ -215,7 +216,11 @@ object SpatialJoin {
           col(s"${tag}_max_lng"), col(s"${tag}_max_lat"), res)))
     val cornerLng = greatest(col("a_min_lng"), col("b_min_lng"))
     val cornerLat = greatest(col("a_min_lat"), col("b_min_lat"))
-    sideCells(a, "a").join(broadcast(sideCells(b, "b")), Seq("cell"))
+    // broadcastB fits the common small-overlay case; for two huge sets
+    // pass false — the cell key makes it a plain shuffled equi-join
+    // (AQE skew-splittable), still never a cross product
+    val bCells = if (broadcastB) broadcast(sideCells(b, "b")) else sideCells(b, "b")
+    sideCells(a, "a").join(bCells, Seq("cell"))
       .where(
         col("a_max_lng") >= col("b_min_lng") && col("b_max_lng") >= col("a_min_lng") &&
           col("a_max_lat") >= col("b_min_lat") && col("b_max_lat") >= col("a_min_lat") &&

@@ -91,6 +91,12 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan(SpatialJoin.polyPolyJoin(rects, regions))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = plan(SpatialJoin.polyPolyJoin(rects, regions, broadcastB = false))
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"), s)
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("tile pyramid scans the raw table ONCE and re-aggregates only the base grid") {

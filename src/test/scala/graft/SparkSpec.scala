@@ -146,6 +146,11 @@ class SparkSpec extends AnyFunSuite {
       assert(got.length == got.toSet.size, s"res=$res: duplicate pair emitted")
       assert(got.toSet == brute(rects, regions), s"res=$res")
     }
+    // shuffled variant (two huge sets): identical result, still exactly-once
+    val shuffled = SpatialJoin.polyPolyJoin(rects, regions, broadcastB = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(shuffled.length == shuffled.toSet.size)
+    assert(shuffled.toSet == brute(rects, regions))
     // touching edges (closed-interval contract): rects sharing only a
     // boundary line / corner DO intersect and appear exactly once
     def rectDf(rows: Seq[(Long, Int, Int, Int, Int)]): DataFrame =
