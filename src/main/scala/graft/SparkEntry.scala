@@ -970,11 +970,14 @@ object SparkEntry {
         |  SELECT event_id AS click_id, user_id, ts, value
         |  FROM events WHERE event_type = 'click'
         |), m AS (
-        |  SELECT p.event_id,
-        |         arg_max(c.click_id, c.ts) AS click_id,
-        |         arg_max(c.value, c.ts) AS click_value
-        |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
-        |  GROUP BY p.event_id
+        |  -- one ROW picked per purchase (never column-wise mixing), with
+        |  -- the engine's exact tiebreak: latest ts, then max payload
+        |  SELECT event_id, click_id, click_value FROM (
+        |    SELECT p.event_id, c.click_id, c.value AS click_value,
+        |           row_number() OVER (PARTITION BY p.event_id
+        |             ORDER BY c.ts DESC, c.click_id DESC, c.value DESC) AS rn
+        |    FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        |  ) WHERE rn = 1
         |)
         |SELECT p.event_id, m.click_id, m.click_value
         |FROM p LEFT JOIN m ON m.event_id = p.event_id

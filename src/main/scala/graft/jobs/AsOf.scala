@@ -57,9 +57,18 @@ object AsOf {
     val l = left.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       lit(null).cast(payloadType).as("__p"), leftStruct.as("__l"))
-    val r = right.select(
-      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
-      payloadStruct.as("__p"), lit(null).cast(leftType).as("__l"))
+    // SQL equi-join semantics for NULLs: a NULL-key or NULL-time right row
+    // can never be anyone's match (`ts <= NULL` is NULL in SQL; NULL keys
+    // never equi-join) — filter them out, or the window's NULLS FIRST sort
+    // would treat a NULL time as "earliest ever" and the NULL-key partition
+    // would match NULL-key left rows. NULL-key/-time LEFT rows need no
+    // handling: after this filter their partitions/prefixes hold no right
+    // payload, so they keep the left-outer NULL match.
+    val r = right
+      .where(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        payloadStruct.as("__p"), lit(null).cast(leftType).as("__l"))
 
     // Right rows sort before left rows at equal time (inclusive <=); the
     // payload itself is the final tiebreak so duplicate (key, time) right

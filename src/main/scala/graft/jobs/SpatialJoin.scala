@@ -222,8 +222,9 @@ object SpatialJoin {
     val bCells = if (broadcastB) broadcast(sideCells(b, "b")) else sideCells(b, "b")
     sideCells(a, "a").join(bCells, Seq("cell"))
       .where(
-        col("a_max_lng") >= col("b_min_lng") && col("b_max_lng") >= col("a_min_lng") &&
-          col("a_max_lat") >= col("b_min_lat") && col("b_max_lat") >= col("a_min_lat") &&
+        stBBoxIntersects(
+          col("a_min_lng"), col("a_min_lat"), col("a_max_lng"), col("a_max_lat"),
+          col("b_min_lng"), col("b_min_lat"), col("b_max_lng"), col("b_max_lat")) &&
           col("cell") === gmCell(cornerLng, cornerLat, res))
       .select("a_id", "b_id")
   }
