@@ -2,7 +2,7 @@ package graft
 
 import graft.expr.GraftFunctions._
 import graft.geom.Envelope
-import graft.jobs.{AsOf, Dedup, Ingest, Knn, Media, Similarity, SpatialJoin, TextOps, Tiles}
+import graft.jobs.{AsOf, Dedup, Ingest, IntervalJoin, Knn, Media, Similarity, SpatialJoin, Split, TextOps, Tiles}
 import graft.table.InterleavedDocs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -575,6 +575,37 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // point-in-interval join (temporal cell join): overlapping 3-day
+    // maintenance windows x events — intervals explode to day buckets,
+    // events key to ONE bucket (exactly-once for free), equi-join +
+    // closed BETWEEN refinement; zonal-style left join keeps empty windows
+    "q60_interval_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
+      val k = col("n_nationkey").cast("long")
+      val start = lit(1704067200000000L) + k * 86400000000L // 2024-01-01 UTC + key days
+      val win = s.read.parquet(s"$dir/nation.parquet")
+        .select(k.as("window_id"), start.as("w_start"),
+          (start + 3L * 86400000000L).as("w_end"))
+      val agg = IntervalJoin.pointInInterval(ev, "t", win, "w_start", "w_end", 86400000000L)
+        .groupBy("window_id").agg(count(lit(1)).as("n"),
+          min("event_id").as("min_event_id"), max("event_id").as("max_event_id"))
+      win.select("window_id").join(broadcast(agg), Seq("window_id"), "left_outer")
+        .select(col("window_id"), coalesce(col("n"), lit(0L)).as("n"),
+          col("min_event_id"), col("max_event_id"))
+        .orderBy("window_id")
+    }),
+
+    // deterministic md5-bucket train/val/test split: pure function of
+    // (salt, key) — reshuffle/rerun/cluster-size stable, zero shuffles;
+    // exact assignment (not just sizes) replayed in the oracle
+    "q61_split" -> ((s, dir) => {
+      Split.assign(s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+          "doc_id", "graft")
+        .select(col("doc_id"), col("split_bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // relational coverage: agg, broadcast join + top-n, window
     "q20_lineitem_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -982,6 +1013,33 @@ object SparkEntry {
         |SELECT p.event_id, m.click_id, m.click_value
         |FROM p LEFT JOIN m ON m.event_id = p.event_id
         |ORDER BY p.event_id""".stripMargin,
+
+    "q60_interval_join" ->
+      """WITH win AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS window_id,
+        |         1704067200000000 + CAST(n_nationkey AS BIGINT) * 86400000000 AS w_start
+        |  FROM nation
+        |), ev AS (
+        |  SELECT event_id, epoch_us(ts) AS t FROM events
+        |), j AS (
+        |  SELECT w.window_id, count(*) AS n,
+        |         min(e.event_id) AS min_event_id, max(e.event_id) AS max_event_id
+        |  FROM win w JOIN ev e
+        |    ON e.t >= w.w_start AND e.t <= w.w_start + 259200000000
+        |  GROUP BY 1
+        |)
+        |SELECT w.window_id, coalesce(j.n, 0) AS n, j.min_event_id, j.max_event_id
+        |FROM win w LEFT JOIN j ON j.window_id = w.window_id
+        |ORDER BY w.window_id""".stripMargin,
+
+    "q61_split" ->
+      """SELECT doc_id,
+        |       CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS split_bucket,
+        |       CASE WHEN CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+        |            WHEN CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q58_tfidf_terms" ->
       """WITH toks AS (

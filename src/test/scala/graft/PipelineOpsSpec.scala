@@ -1,6 +1,6 @@
 package graft
 
-import graft.jobs.{AsOf, Dedup, Media, Similarity, TextOps}
+import graft.jobs.{AsOf, Dedup, IntervalJoin, Media, Similarity, Split, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -321,6 +321,67 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(col("id"), col("asof.v"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(out == Map(1L -> 100L, 2L -> -1L, 3L -> 151L, 4L -> -1L))
+  }
+
+  test("point-in-interval join equals brute theta join; bucket/boundary edge matrix") {
+    val s = spark
+    import s.implicits._
+    // real events x overlapping 3-day windows (each event in up to 3)
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
+    val k = col("n_nationkey").cast("long")
+    val start = lit(1704067200000000L) + k * 86400000000L
+    val win = spark.read.parquet(s"$Sf/nation.parquet")
+      .select(k.as("window_id"), start.as("w_start"), (start + 3L * 86400000000L).as("w_end"))
+    val got = IntervalJoin.pointInInterval(ev, "t", win, "w_start", "w_end", 86400000000L)
+      .select("event_id", "window_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = ev.crossJoin(win)
+      .where(col("t") >= col("w_start") && col("t") <= col("w_end"))
+      .select("event_id", "window_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "each (point, interval) pair exactly once")
+    assert(got.toSet == brute.toSet)
+    assert(got.nonEmpty)
+    assert(got.groupBy(_._1).exists(_._2.size > 1), "overlap must be exercised")
+
+    // synthetic edge matrix, width 50: closed boundaries both ends, point
+    // on a bucket boundary, negative times, zero-length + inverted
+    // intervals, an interval straddling zero
+    val pts = Seq((1L, 0L), (2L, 10L), (3L, 100L), (4L, -100L), (5L, 99L), (6L, -1L))
+      .toDF("pid", "t")
+    val ivs = Seq(
+      (10L, 0L, 10L), (11L, 95L, 100L), (12L, -150L, -100L),
+      (13L, 7L, 7L), (14L, 50L, 20L), (15L, -1L, 0L))
+      .toDF("iid", "s", "e")
+    val out = IntervalJoin.pointInInterval(pts, "t", ivs, "s", "e", 50L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.toSet.size)
+    assert(out.toSet == Set((1L, 10L), (2L, 10L), (3L, 11L), (5L, 11L),
+      (4L, 12L), (1L, 15L), (6L, 15L)))
+  }
+
+  test("split: exact md5 assignment matches JVM recomputation; deterministic under repartition") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").select("doc_id")
+    val got = Split.assign(docs, "doc_id", "graft").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def bucket(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 10000
+    }
+    got.foreach { case (id, b, sp) =>
+      val eb = bucket(id.toString)
+      assert(b == eb, s"doc $id")
+      assert(sp == (if (eb < 8000) "train" else if (eb < 9000) "val" else "test"), s"doc $id")
+    }
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.getOrElse("train", 0) > got.length * 7 / 10)
+    assert(sizes.getOrElse("val", 0) > 0 && sizes.getOrElse("test", 0) > 0)
+    // stability: a reshuffled rerun never moves a row
+    val again = Split.assign(docs.repartition(7), "doc_id", "graft").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(again == got.toSet)
+    // invalid basis points fail loudly
+    intercept[IllegalArgumentException](Split.assign(docs, "doc_id", "x", 9000, 2000))
   }
 
   test("fingerprints: deterministic, order-sensitive, dup-preserving") {

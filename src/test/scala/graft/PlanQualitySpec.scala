@@ -2,7 +2,7 @@ package graft
 
 import graft.codec.FeatureCodec.{Feature, PInt64}
 import graft.geom.{Envelope, ScaledCoord, Wkb}
-import graft.jobs.{AsOf, Ingest, SpatialJoin, Similarity}
+import graft.jobs.{AsOf, Ingest, IntervalJoin, SpatialJoin, Similarity}
 import graft.table.{InterleavedDocs, ScanMetrics}
 import graft.sources.GeomedeaFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -84,6 +84,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(__k".r.findAllIn(e).length == 1 &&
       !e.contains("Exchange rangepartitioning"),
       s"expected exactly one key shuffle:\n$e")
+  }
+
+  test("interval join plans a bucket equi-join (broadcast small, shuffle large) — never a cross product; split plans zero shuffles") {
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
+    val k = col("n_nationkey").cast("long")
+    val start = lit(1704067200000000L) + k * 86400000000L
+    val win = spark.read.parquet(s"$Sf/nation.parquet")
+      .select(k.as("window_id"), start.as("w_start"), (start + 3L * 86400000000L).as("w_end"))
+    val b = plan(IntervalJoin.pointInInterval(ev, "t", win, "w_start", "w_end", 86400000000L))
+    assert(b.contains("BroadcastHashJoin"), b) // Catalyst auto-broadcasts the tiny side
+    assert(!b.contains("CartesianProduct") && !b.contains("BroadcastNestedLoopJoin"), b)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = plan(IntervalJoin.pointInInterval(ev, "t", win, "w_start", "w_end", 86400000000L))
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"), s)
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val sp = graft.jobs.Split.assign(
+      spark.read.parquet(s"$Sf/documents.parquet").select("doc_id"), "doc_id", "graft")
+    assert(!sp.queryExecution.executedPlan.toString.contains("Exchange"),
+      "split must be a pure projection")
   }
 
   test("polyPolyJoin plans a cell equi-join with exactly-once corner filter — never a cross product") {
