@@ -28,20 +28,38 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Widest per-interval bucket cover accepted before failing loudly: a
+    * sentinel open end (Long.MaxValue "still valid") would otherwise blow
+    * past Spark's max array length inside `sequence` with a cryptic
+    * runtime error — clamp sentinel ends to the data's max time, or widen
+    * the bucket, instead.
+    */
+  val MaxBucketsPerInterval: Long = 1L << 20
+
   def pointInInterval(points: DataFrame, pointTime: String,
                       intervals: DataFrame, start: String, end: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    // exact floorDiv (also for times <= 0): subtract the non-negative
-    // pmod first, so the double division is of exact multiples (integer
-    // quotient, exactly representable — never a boundary off-by-one the
-    // way floor(t/w) in binary floating point can be)
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "__bucket is reserved by pointInInterval")
+    // exact integer floorDiv over the FULL long range: Spark's `/` on
+    // longs is double division (rounds past 2^53 — silently off-by-one
+    // buckets for nano-scale epochs), so use integral `div` with the
+    // classic truncation->floor shift for negatives (no subtraction that
+    // could wrap near Long.MinValue)
     def bucketOf(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+      when(c >= 0, call_function("div", c, lit(bucketWidth)))
+        .otherwise(call_function("div", c + 1, lit(bucketWidth)) - 1)
+    val bs = bucketOf(col(start))
+    val be = bucketOf(col(end))
+    val beGuarded = when(be - bs < lit(MaxBucketsPerInterval), be)
+      .otherwise(raise_error(format_string(
+        s"interval [%d, %d] covers %d buckets of width $bucketWidth " +
+          s"(> $MaxBucketsPerInterval) — widen bucketWidth or clamp sentinel end times",
+        col(start), col(end), be - bs + lit(1L))).cast("long"))
     val iv = intervals
       .where(col(start) <= col(end))
-      .withColumn("__bucket",
-        explode(sequence(bucketOf(col(start)), bucketOf(col(end)))))
+      .withColumn("__bucket", explode(sequence(bs, beGuarded)))
     val pts = points.withColumn("__bucket", bucketOf(col(pointTime)))
     pts.join(iv, Seq("__bucket"))
       .where(col(pointTime) >= col(start) && col(pointTime) <= col(end))

@@ -26,12 +26,16 @@ object Split {
              trainBp: Int = 8000, valBp: Int = 1000): DataFrame = {
     require(trainBp >= 0 && valBp >= 0 && trainBp + valBp <= 10000,
       s"basis points out of range: train=$trainBp val=$valBp")
+    // concat (NOT concat_ws) so a NULL key propagates to a NULL bucket and
+    // a NULL split — SQL semantics, matching the oracle's 'salt' || ':' ||
+    // key — instead of silently pooling every unkeyed row into one split
     val bucket = pmod(
-      Dedup.md5Half(concat_ws(":", lit(salt), col(keyCol).cast("string")), 1),
+      Dedup.md5Half(concat(lit(salt), lit(":"), col(keyCol).cast("string")), 1),
       lit(10000L))
     df.withColumn("split_bucket", bucket)
       .withColumn("split",
-        when(col("split_bucket") < trainBp, "train")
+        when(col("split_bucket").isNull, lit(null).cast("string"))
+          .when(col("split_bucket") < trainBp, "train")
           .when(col("split_bucket") < trainBp + valBp, "val")
           .otherwise("test"))
   }

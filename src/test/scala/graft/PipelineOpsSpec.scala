@@ -357,6 +357,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.length == out.toSet.size)
     assert(out.toSet == Set((1L, 10L), (2L, 10L), (3L, 11L), (5L, 11L),
       (4L, 12L), (1L, 15L), (6L, 15L)))
+
+    // exact bucketing past 2^53 (nano-scale epochs round in double
+    // division) and at the long extremes (floorDiv must not wrap)
+    val big = 1700000000000000000L // ~2023 in nanos, > 2^53
+    val nsDay = 86400000000000L
+    val bigPts = Seq((1L, big), (2L, big + nsDay), (3L, Long.MinValue), (4L, Long.MaxValue))
+      .toDF("pid", "t")
+    val bigIvs = Seq((10L, big - 1L, big + 1L), (11L, Long.MinValue, Long.MinValue + 10L),
+        (12L, Long.MaxValue - 10L, Long.MaxValue))
+      .toDF("iid", "s", "e")
+    val bigOut = IntervalJoin.pointInInterval(bigPts, "t", bigIvs, "s", "e", nsDay)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bigOut == Set((1L, 10L), (3L, 11L), (4L, 12L)))
+
+    // sentinel open end fails LOUDLY instead of a cryptic sequence error
+    val sentinel = Seq((20L, 0L, Long.MaxValue)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      IntervalJoin.pointInInterval(pts, "t", sentinel, "s", "e", 50L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("widen bucketWidth")), msgs(ex).mkString(" | "))
+    // reserved internal column rejected
+    intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(pts.withColumn("__bucket", lit(1)), "t", ivs, "s", "e", 50L)
+    }
   }
 
   test("split: exact md5 assignment matches JVM recomputation; deterministic under repartition") {
@@ -382,6 +408,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == got.toSet)
     // invalid basis points fail loudly
     intercept[IllegalArgumentException](Split.assign(docs, "doc_id", "x", 9000, 2000))
+    // NULL keys get NULL bucket + NULL split (SQL semantics), never a
+    // silent shared assignment
+    val s2 = spark
+    import s2.implicits._
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("doc_id")
+    val nr = Split.assign(withNull, "doc_id", "graft")
+      .collect().map(r => (r.isNullAt(0), r.isNullAt(1), r.isNullAt(2)))
+    assert(nr.count(t => t._1 && t._2 && t._3) == 1)
+    assert(nr.count(t => !t._1 && !t._2 && !t._3) == 2)
   }
 
   test("fingerprints: deterministic, order-sensitive, dup-preserving") {
