@@ -2,7 +2,7 @@ package graft
 
 import graft.expr.GraftFunctions._
 import graft.geom.Envelope
-import graft.jobs.{AsOf, Dedup, Ingest, IntervalJoin, Knn, Media, Similarity, SpatialJoin, Split, TextOps, Tiles}
+import graft.jobs.{AsOf, Dedup, Ingest, IntervalJoin, Knn, Media, Quantiles, Similarity, SpatialJoin, Split, TextOps, Tiles}
 import graft.table.InterleavedDocs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -606,6 +606,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exact per-group quantiles (discrete/type-1, integer rank math):
+    // one shuffle, all percentiles in one pass, hash-exact cross-engine
+    "q62_group_quantiles" -> ((s, dir) => {
+      Quantiles.exact(s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type"), "value", Seq(50, 90, 99))
+        .orderBy("event_type")
+    }),
+
     // relational coverage: agg, broadcast join + top-n, window
     "q20_lineitem_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1031,6 +1039,19 @@ object SparkEntry {
         |SELECT w.window_id, coalesce(j.n, 0) AS n, j.min_event_id, j.max_event_id
         |FROM win w LEFT JOIN j ON j.window_id = w.window_id
         |ORDER BY w.window_id""".stripMargin,
+
+    "q62_group_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |)
+        |SELECT event_type, max(n) AS n,
+        |       max(CASE WHEN rn = (n*50+99)//100 THEN value END) AS p50,
+        |       max(CASE WHEN rn = (n*90+99)//100 THEN value END) AS p90,
+        |       max(CASE WHEN rn = (n*99+99)//100 THEN value END) AS p99
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q61_split" ->
       """SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.jobs.{AsOf, Dedup, IntervalJoin, Media, Similarity, Split, TextOps}
+import graft.jobs.{AsOf, Dedup, IntervalJoin, Media, Quantiles, Similarity, Split, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -283,6 +283,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       .toSet
     assert(got == expected)
     assert(got.nonEmpty)
+  }
+
+  test("exact group quantiles equal a brute sorted pick; singleton and tie groups") {
+    val s = spark
+    import s.implicits._
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val ps = Seq(1, 50, 90, 99, 100)
+    val got = Quantiles.exact(ev, Seq("event_type"), "value", ps).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), ps.indices.map(i => r.getDouble(2 + i))))
+      .toMap
+    val brute = ev.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .map { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        g -> (sorted.length.toLong,
+          ps.map(p => sorted(((sorted.length.toLong * p + 99) / 100).toInt - 1)))
+      }
+    assert(got.keySet == brute.keySet && got.keySet.nonEmpty)
+    for (g <- got.keySet) assert(got(g) == brute(g), s"group $g")
+    // singleton group: every percentile IS the element; ties: the ranked
+    // element is well defined even when row order among equals is not
+    val tiny = Seq(("a", 7.0), ("b", 1.0), ("b", 1.0), ("b", 2.0)).toDF("g", "value")
+    val t = Quantiles.exact(tiny, Seq("g"), "value", Seq(1, 50, 100)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(t("a") == ((1L, 7.0, 7.0, 7.0)))
+    assert(t("b") == ((3L, 1.0, 1.0, 2.0)))
+    intercept[IllegalArgumentException](Quantiles.exact(tiny, Seq("g"), "value", Seq(0)))
   }
 
   test("as-of join equals brute force on events; closed <=, null no-match, dup-time determinism") {

@@ -108,6 +108,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "split must be a pure projection")
   }
 
+  test("exact group quantiles plan ONE shuffle: window partitioning is reused by the final agg") {
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val df = graft.jobs.Quantiles.exact(ev, Seq("event_type"), "value", Seq(50, 90, 99))
+    val e = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(e).length == 1, e)
+  }
+
   test("polyPolyJoin plans a cell equi-join with exactly-once corner filter — never a cross product") {
     val regions = InterleavedDocs.regionRects(spark, Sf)
     val p = plan(SpatialJoin.polyPolyJoin(rects, regions))
