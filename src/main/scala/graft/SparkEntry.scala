@@ -318,6 +318,39 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // STREAMING exactly-once dedup: dropDuplicates keyed state over the
+    // tailing lake — duplicates arriving in LATER batches (and across a
+    // checkpoint restart) are suppressed by the state store; the whole
+    // second append re-delivers every row and not one re-emits. The
+    // 100 TB path bounds the state with dropDuplicatesWithinWatermark.
+    "q63_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_sd").toString
+      val lake = s"$base/lake"
+      val staged = s"$base/rows"
+      val framed = geo(s, dir)
+        .select(col("wkb"), col("doc_id")).as[(Array[Byte], String)]
+        .map { case (wkb, id) => (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
+          "doc", graft.codec.FeatureCodec.PString(id)))) }
+        .toDF("wkb", "props")
+      def append(): Unit =
+        framed.repartition(2).write.format("geomedea").mode("append").save(lake)
+      def run(): Unit = {
+        val q = s.readStream.format("geomedea").load(lake)
+          .select(element_at(col("prop_vals"), 1).as("doc_id"))
+          .dropDuplicates("doc_id")
+          .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(staged); ()
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      append(); run()
+      append(); run() // identical rows re-delivered — all suppressed
+      s.read.parquet(staged).select("doc_id").orderBy("doc_id")
+    }),
+
     // STREAM-STATIC spatial join: the full composition a tailing
     // pipeline runs — readStream over a growing .geomedea lake joined
     // per micro-batch to the static polygon set (broadcast cell join +
@@ -930,6 +963,11 @@ object SparkEntry {
       s"""WITH $P SELECT CAST(substr(doc_id, 5) AS BIGINT) % 16 AS bucket, count(*) AS n,
          |CAST(sum(lng) AS BIGINT) AS sum_lng, CAST(sum(lat) AS BIGINT) AS sum_lat
          |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every row delivered twice; exactly-once dedup state means the
+    // result is the plain distinct set — one extra row fails the gate
+    "q63_stream_dedup" ->
+      s"""WITH $P SELECT doc_id FROM pts ORDER BY doc_id""".stripMargin,
 
     "q44_fgb_dsv2_bbox" ->
       s"""WITH $P SELECT doc_id, lng, lat FROM pts

@@ -277,6 +277,44 @@ class StreamAndAggSpec extends AnyFunSuite {
     assert(text.contains("\"gen\":2"), s"offset must carry the lake generation: $text")
   }
 
+  test("streaming dedup: in-batch, cross-batch and cross-restart duplicates suppressed exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("gm_sd").toString
+    val lake = s"$base/lake"
+    val staged = s"$base/rows"
+    def writeBatch(ids: Seq[Int]): Unit =
+      ids.map { i =>
+        (graft.geom.Wkb.write(graft.geom.Wkb.Pt(i * 1000000, i * 500000)),
+          Seq(graft.sources.GeoJsonIngest.toCell("id",
+            graft.codec.FeatureCodec.PInt64(i.toLong))))
+      }.toDF("wkb", "props")
+        .repartition(2).write.format("geomedea").mode("append").save(lake)
+    def run(): Unit = {
+      val q = spark.readStream.format("geomedea").load(lake)
+        .select(col("props")(0)("i").as("id"))
+        .dropDuplicates("id") // keyed state store, persists in the checkpoint
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(staged); ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emitted(): Seq[Long] =
+      spark.read.parquet(staged).collect().map(_.getLong(0)).toSeq
+
+    writeBatch((0 until 30) ++ (0 until 10)) // dups inside the first run
+    run()
+    assert(emitted().sorted == (0L until 30L), s"first run: ${emitted().sorted}")
+    writeBatch(0 until 30) // a whole duplicate batch, after a restart
+    run()
+    assert(emitted().size == 30, "restart re-emitted rows the state had seen")
+    writeBatch((30 until 40) ++ (5 until 8)) // mixed new + old
+    run()
+    assert(emitted().sorted == (0L until 40L), s"mixed: ${emitted().sorted}")
+  }
+
   test("caught-up stream RESUMES exactly-once across retirement; behind streams fail loudly") {
     // retention used to be out-of-band deletion = the rewrite error for
     // every tailing stream; Compact.retire records the deletion as a
