@@ -44,6 +44,58 @@ object SparkEntry {
     out
   }
 
+  /** Docs framed for the container writers — (wkb, props=[doc_id]) — plus
+    * a deterministic `first` half-split so two-append streaming scenarios
+    * can deliver each half as its own micro-batch generation.
+    */
+  private def frameDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    geo(s, dir)
+      .select(col("wkb"), col("doc_id"),
+        (pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(2L)) === 0L).as("first"))
+      .as[(Array[Byte], String, Boolean)]
+      .map { case (wkb, id, first) =>
+        (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
+          "doc", graft.codec.FeatureCodec.PString(id))), first)
+      }
+      .toDF("wkb", "props", "first")
+  }
+
+  /** Append one `first`-half of the framed docs to a container lake. */
+  private def appendHalf(framed: DataFrame, fmt: String, lake: String,
+                         first: Boolean): Unit =
+    framed.where(col("first") === first).select("wkb", "props")
+      .repartition(2).write.format(fmt).mode("append").save(lake)
+
+  /** One exactly-once AvailableNow pass over a tailing container lake:
+    * `transform` shapes the micro-batches, rows stage to parquet.
+    */
+  private def runAvailableNow(s: SparkSession, fmt: String, lake: String,
+                              staged: String, ckpt: String)(
+                              transform: DataFrame => DataFrame): Unit = {
+    val q = transform(s.readStream.format(fmt).load(lake))
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(staged); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** q46/q47's per-row micro-batch shape: id + long coords. */
+  private def idLngLat(df: DataFrame): DataFrame =
+    df.select(element_at(col("prop_vals"), 1).as("doc_id"),
+      col("min_lng").cast("long").as("lng"), col("min_lat").cast("long").as("lat"))
+
+  /** q46/q47's deterministic staged-row aggregation (order-free). */
+  private def bucketAgg(s: SparkSession, staged: String): DataFrame =
+    s.read.parquet(staged)
+      .groupBy(pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(16L)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("lng")).as("sum_lng"), sum(col("lat")).as("sum_lat"))
+      .orderBy("bucket")
+
   /** Flagship: spatial join + tile assignment on sf0.001 (rows>0 smoke). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -237,42 +289,16 @@ object SparkEntry {
     // lost, re-emitted across the generation, or double-counted from
     // replacement shards — which is exactly what the oracle replays.
     "q46_stream_read" -> ((s, dir) => {
-      import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_sr").toString
       val lake = s"$base/lake"
       val staged = s"$base/rows"
-      val framed = geo(s, dir)
-        .select(col("wkb"), col("doc_id"),
-          (pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(2L)) === 0L).as("first"))
-        .as[(Array[Byte], String, Boolean)]
-        .map { case (wkb, id, first) =>
-          (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
-            "doc", graft.codec.FeatureCodec.PString(id))), first)
-        }
-        .toDF("wkb", "props", "first")
-      def append(first: Boolean): Unit =
-        framed.where(col("first") === first).select("wkb", "props")
-          .repartition(2).write.format("geomedea").mode("append").save(lake)
-      def run(): Unit = {
-        val q = s.readStream.format("geomedea").load(lake)
-          .select(element_at(col("prop_vals"), 1).as("doc_id"),
-            col("min_lng").cast("long").as("lng"), col("min_lat").cast("long").as("lat"))
-          .writeStream
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            df.write.mode("append").parquet(staged); ()
-          }
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      append(first = true); run()
+      val framed = frameDocs(s, dir)
+      def run(): Unit =
+        runAvailableNow(s, "geomedea", lake, staged, s"$base/ckpt")(idLngLat)
+      appendHalf(framed, "geomedea", lake, first = true); run()
       graft.jobs.Compact.compact(s, lake, numShards = 1)
-      append(first = false); run()
-      s.read.parquet(staged)
-        .groupBy(pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(16L)).as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("lng")).as("sum_lng"), sum(col("lat")).as("sum_lat"))
-        .orderBy("bucket")
+      appendHalf(framed, "geomedea", lake, first = false); run()
+      bucketAgg(s, staged)
     }),
 
     // q46's twin over the SECOND container: streaming READ of a .fgb
@@ -280,42 +306,16 @@ object SparkEntry {
     // shares the generation-qualified offset protocol). Also end-to-end
     // exercises the spill-backed FGB shard writer in the driver gate.
     "q47_stream_fgb" -> ((s, dir) => {
-      import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_srf").toString
       val lake = s"$base/lake"
       val staged = s"$base/rows"
-      val framed = geo(s, dir)
-        .select(col("wkb"), col("doc_id"),
-          (pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(2L)) === 0L).as("first"))
-        .as[(Array[Byte], String, Boolean)]
-        .map { case (wkb, id, first) =>
-          (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
-            "doc", graft.codec.FeatureCodec.PString(id))), first)
-        }
-        .toDF("wkb", "props", "first")
-      def append(first: Boolean): Unit =
-        framed.where(col("first") === first).select("wkb", "props")
-          .repartition(2).write.format("flatgeobuf").mode("append").save(lake)
-      def run(): Unit = {
-        val q = s.readStream.format("flatgeobuf").load(lake)
-          .select(element_at(col("prop_vals"), 1).as("doc_id"),
-            col("min_lng").cast("long").as("lng"), col("min_lat").cast("long").as("lat"))
-          .writeStream
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            df.write.mode("append").parquet(staged); ()
-          }
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      append(first = true); run()
+      val framed = frameDocs(s, dir)
+      def run(): Unit =
+        runAvailableNow(s, "flatgeobuf", lake, staged, s"$base/ckpt")(idLngLat)
+      appendHalf(framed, "flatgeobuf", lake, first = true); run()
       graft.jobs.Compact.compact(s, lake, numShards = 1, format = "flatgeobuf")
-      append(first = false); run()
-      s.read.parquet(staged)
-        .groupBy(pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(16L)).as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("lng")).as("sum_lng"), sum(col("lat")).as("sum_lat"))
-        .orderBy("bucket")
+      appendHalf(framed, "flatgeobuf", lake, first = false); run()
+      bucketAgg(s, staged)
     }),
 
     // STREAMING exactly-once dedup: dropDuplicates keyed state over the
@@ -324,28 +324,16 @@ object SparkEntry {
     // second append re-delivers every row and not one re-emits. The
     // 100 TB path bounds the state with dropDuplicatesWithinWatermark.
     "q63_stream_dedup" -> ((s, dir) => {
-      import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_sd").toString
       val lake = s"$base/lake"
       val staged = s"$base/rows"
-      val framed = geo(s, dir)
-        .select(col("wkb"), col("doc_id")).as[(Array[Byte], String)]
-        .map { case (wkb, id) => (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
-          "doc", graft.codec.FeatureCodec.PString(id)))) }
-        .toDF("wkb", "props")
-      def append(): Unit =
-        framed.repartition(2).write.format("geomedea").mode("append").save(lake)
-      def run(): Unit = {
-        val q = s.readStream.format("geomedea").load(lake)
-          .select(element_at(col("prop_vals"), 1).as("doc_id"))
-          .dropDuplicates("doc_id")
-          .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
-            df.write.mode("append").parquet(staged); ()
-          }
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
+      val framed = frameDocs(s, dir)
+      def append(): Unit = framed.select("wkb", "props")
+        .repartition(2).write.format("geomedea").mode("append").save(lake)
+      def run(): Unit =
+        runAvailableNow(s, "geomedea", lake, staged, s"$base/ckpt")(
+          _.select(element_at(col("prop_vals"), 1).as("doc_id"))
+            .dropDuplicates("doc_id"))
       append(); run()
       append(); run() // identical rows re-delivered — all suppressed
       s.read.parquet(staged).select("doc_id").orderBy("doc_id")
@@ -357,39 +345,19 @@ object SparkEntry {
     // PIP refine, the q04 plan inside each batch), exactly-once across
     // two appends. The oracle replays the aggregated join batch-side.
     "q56_stream_spatial_join" -> ((s, dir) => {
-      import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_ssj").toString
       val lake = s"$base/lake"
       val staged = s"$base/rows"
       val rects = InterleavedDocs.nationRects(s, dir)
-      val framed = geo(s, dir)
-        .select(col("wkb"), col("doc_id"),
-          (pmod(substring(col("doc_id"), 5, 16).cast("long"), lit(2L)) === 0L).as("first"))
-        .as[(Array[Byte], String, Boolean)]
-        .map { case (wkb, id, first) =>
-          (wkb, Seq(graft.sources.GeoJsonIngest.toCell(
-            "doc", graft.codec.FeatureCodec.PString(id))), first)
-        }
-        .toDF("wkb", "props", "first")
-      def append(first: Boolean): Unit =
-        framed.where(col("first") === first).select("wkb", "props")
-          .repartition(2).write.format("geomedea").mode("append").save(lake)
-      def run(): Unit = {
-        val pts = s.readStream.format("geomedea").load(lake)
-          .select(element_at(col("prop_vals"), 1).as("doc_id"),
+      val framed = frameDocs(s, dir)
+      def run(): Unit =
+        runAvailableNow(s, "geomedea", lake, staged, s"$base/ckpt") { in =>
+          val pts = in.select(element_at(col("prop_vals"), 1).as("doc_id"),
             col("min_lng").as("lng"), col("min_lat").as("lat"))
-        val q = SpatialJoin.cellJoin(pts, rects)
-          .select(col("poly_id"), col("doc_id"))
-          .writeStream
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            df.write.mode("append").parquet(staged); ()
-          }
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      append(first = true); run()
-      append(first = false); run()
+          SpatialJoin.cellJoin(pts, rects).select(col("poly_id"), col("doc_id"))
+        }
+      appendHalf(framed, "geomedea", lake, first = true); run()
+      appendHalf(framed, "geomedea", lake, first = false); run()
       s.read.parquet(staged)
         .groupBy("poly_id").agg(count(lit(1)).as("n"))
         .orderBy("poly_id")

@@ -23,24 +23,43 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** @param percents 1..100; output column `p<P>` per requested percentile
-    * plus `n` (group size). Ties in `valueCol` are fine: every engine
-    * sees the same multiset, so the element AT a rank is well defined
-    * even when row order among equals is not.
+  /** @param percents 1..100, distinct; output column `p<P>` per requested
+    * percentile plus `n` (count of non-NULL values in the group). Ties in
+    * `valueCol` are fine: every engine sees the same multiset, so the
+    * element AT a rank is well defined even when row order among equals
+    * is not. NULL values are ignored like every SQL aggregate (ranked
+    * last, counted out of `n`, never selectable); a group whose values
+    * are all NULL stays in the output with n=0 and NULL percentiles.
     */
   def exact(df: DataFrame, groupCols: Seq[String], valueCol: String,
             percents: Seq[Int]): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be in [1, 100], got $percents")
+    require(percents.distinct.size == percents.size,
+      s"duplicate percentiles would emit colliding p<P> columns: $percents")
+    val outNames = "n" +: percents.map(p => s"p$p")
+    require(!groupCols.exists(outNames.contains),
+      s"group columns $groupCols collide with output columns $outNames")
+    // Temp rank/count columns must not clobber caller columns.
+    def fresh(base: String): String = {
+      var nm = base; while (df.columns.contains(nm)) nm += "_"; nm
+    }
+    val rnC = fresh("__rn"); val nC = fresh("__n")
     val gcols = groupCols.map(col)
-    val w = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
+    // NULLS LAST so non-NULL rows own ranks 1..n; n counts non-NULLs only
+    // (count(col) skips NULLs) so rankOf can never land on a NULL row.
+    val w = Window.partitionBy(gcols: _*).orderBy(col(valueCol).asc_nulls_last)
     val ranked = df
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(gcols: _*)))
+      // running count = 1-based rank as a LONG: row_number() is
+      // IntegerType and wraps past 2^31 rows in one group, silently
+      // yielding all-NULL percentiles; the running count cannot.
+      .withColumn(rnC, count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(nC, count(col(valueCol)).over(Window.partitionBy(gcols: _*)))
     def rankOf(p: Int): Column = // ceil(n*p/100) in exact integer math
-      call_function("div", col("__n") * p + 99, lit(100L))
-    val aggs = max(col("__n")).as("n") +:
-      percents.map(p => max(when(col("__rn") === rankOf(p), col(valueCol))).as(s"p$p"))
+      call_function("div", col(nC) * p + 99, lit(100L))
+    val aggs = max(col(nC)).as("n") +:
+      percents.map(p => max(when(col(rnC) === rankOf(p), col(valueCol))).as(s"p$p"))
     ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -313,6 +313,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Quantiles.exact(tiny, Seq("g"), "value", Seq(0)))
   }
 
+  test("quantiles: NULLs ignored like SQL aggregates; collision guards fail loudly") {
+    val s = spark
+    import s.implicits._
+    // NULL values never rank, never count, never get selected; an
+    // all-NULL group stays in the output with n=0 and NULL percentiles.
+    val withNulls = Seq(
+      ("a", Some(2.0)), ("a", None), ("a", Some(1.0)), ("a", Some(3.0)),
+      ("b", None), ("b", None)).toDF("g", "value")
+    val q = Quantiles.exact(withNulls, Seq("g"), "value", Seq(1, 50, 100))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), (2 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))))
+      .toMap
+    assert(q("a") == ((3L, Seq(Some(1.0), Some(2.0), Some(3.0)))))
+    assert(q("b") == ((0L, Seq(None, None, None))))
+    // caller columns named like the temp rank/count columns are preserved
+    val clash = Seq(("a", 1.0, 9L), ("a", 2.0, 9L)).toDF("g", "value", "__rn")
+    val c = Quantiles.exact(clash, Seq("g"), "value", Seq(50)).collect()
+    assert(c.head.getLong(1) == 2L && c.head.getDouble(2) == 1.0)
+    // output-name collisions are rejected, not silently duplicated
+    intercept[IllegalArgumentException](
+      Quantiles.exact(Seq((1L, 1.0)).toDF("n", "value"), Seq("n"), "value", Seq(50)))
+    intercept[IllegalArgumentException](
+      Quantiles.exact(clash, Seq("g"), "value", Seq(50, 50)))
+  }
+
   test("as-of join equals brute force on events; closed <=, null no-match, dup-time determinism") {
     val s = spark
     import s.implicits._
