@@ -2,7 +2,7 @@ package graft
 
 import graft.expr.GraftFunctions._
 import graft.geom.Envelope
-import graft.jobs.{AsOf, Dedup, Ingest, IntervalJoin, Knn, Media, Quantiles, Similarity, SpatialJoin, Split, TextOps, Tiles}
+import graft.jobs.{AsOf, Dedup, Ingest, IntervalJoin, Knn, Media, Quantiles, Sessions, Similarity, SpatialJoin, Split, TextOps, Tiles}
 import graft.table.InterleavedDocs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -615,6 +615,21 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // batch gap-sessionization over the event stream (30-minute gap):
+    // ONE shuffle on user_id; bit-exact epoch-microsecond math
+    "q64_sessionize" -> ((s, dir) => {
+      Sessions.sessionize(s.read.parquet(s"$dir/events.parquet"),
+          "user_id", "ts", gapSeconds = 1800)
+        .orderBy("user_id", "session_id")
+    }),
+
+    // BM25 document retrieval for a fixed query-term set (integer-milli
+    // factors so the score replays hash-exact cross-engine)
+    "q65_bm25" -> ((s, dir) => {
+      TextOps.bm25Top(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("spark", "join", "vector"), k = 20)
+    }),
+
     // relational coverage: agg, broadcast join + top-n, window
     "q20_lineitem_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1058,6 +1073,52 @@ object SparkEntry {
         |       max(CASE WHEN rn = (n*90+99)//100 THEN value END) AS p90,
         |       max(CASE WHEN rn = (n*99+99)//100 THEN value END) AS p99
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q64_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |), d AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS b
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(b) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us, count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q65_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents
+        |), dls AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs
+        |), tf AS (
+        |  SELECT doc_id, dl, u.term, count(*) AS tf
+        |  FROM dls, unnest(toks) AS u(term)
+        |  WHERE u.term IN ('spark', 'join', 'vector')
+        |  GROUP BY 1, 2, 3
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dls
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |         CAST(round(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * 1000) AS BIGINT)
+        |         * CAST(round(1000.0 * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) AS BIGINT)
+        |           AS term_score
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats s
+        |)
+        |SELECT doc_id, sum(term_score) AS score, count(*) AS n_terms_matched
+        |FROM scored GROUP BY 1
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q61_split" ->
       """SELECT doc_id,

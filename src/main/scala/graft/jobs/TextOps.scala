@@ -81,6 +81,53 @@ object TextOps {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** BM25 retrieval: rank documents against a fixed query-term set with
+    * the standard Okapi BM25+1 formula (k1 = 1.2, b = 0.75,
+    * idf = ln((N - df + 0.5) / (df + 0.5) + 1) — always positive). Like
+    * [[tfidfTop]], both factors are emitted as integer millis
+    * (round(1000 * x)) before the product, so the score replays
+    * hash-exact cross-engine: the double math inside each round is the
+    * identical IEEE expression on both sides and the round boundary is
+    * never within ulps of a reachable input at verify scale.
+    *
+    * Scale shape: tokens are FILTERED to the query terms before the
+    * (doc, term) count, so the tf table is bounded by docs-matching-query,
+    * not the corpus vocabulary; df aggregates that same small table; the
+    * corpus-level N/avgdl pair is one row cross-joined broadcast. Doc
+    * length comes from a codegen'd per-row expression on the same narrow
+    * text scan — no second shuffle. The final top-k is orderBy+limit,
+    * which Spark plans as TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Ties at the boundary break by doc_id, so the k rows
+    * are deterministic.
+    */
+  def bm25Top(corpus: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25Top needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tokens = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+    val docs = corpus.select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val idfMilli = round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1000)
+      .cast("long")
+    val tfnormMilli = round(lit(1000.0) * (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .cast("long")
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idfMilli * tfnormMilli)
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Fingerprints: order-sensitive rolling hash + winnowing min-shingle. */
   def fingerprints(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.jobs.{AsOf, Dedup, IntervalJoin, Media, Quantiles, Similarity, Split, TextOps}
+import graft.jobs.{AsOf, Dedup, IntervalJoin, Media, Quantiles, Sessions, Similarity, Split, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -512,6 +512,65 @@ class PipelineOpsSpec extends AnyFunSuite {
       media.repartition(7, col("doc_id")), everyN = 3).collect()
     assert(frames.map(f => (f.doc_id, f.frame_idx, f.n_bytes, f.checksum)).toSet ==
       frames2.map(f => (f.doc_id, f.frame_idx, f.n_bytes, f.checksum)).toSet)
+  }
+
+  test("batch sessionize equals a brute per-key gap walk; gap boundary is strict >") {
+    val s = spark
+    import s.implicits._
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val got = Sessions.sessionize(ev, "user_id", "ts", gapSeconds = 1800)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val brute = ev.select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).flatMap { case (u, rows) =>
+        val ts = rows.map(_._2).sorted
+        var sid = 0L; var prev = Long.MinValue
+        val tagged = ts.map { t =>
+          if (prev == Long.MinValue || t - prev > 1800000000L) sid += 1
+          prev = t; (sid, t)
+        }
+        tagged.groupBy(_._1).map { case (id, g) =>
+          (u, id) -> (g.map(_._2).min, g.map(_._2).max, g.length.toLong)
+        }
+      }
+    assert(got.nonEmpty && got == brute)
+    // strict-> boundary: a gap of EXACTLY gapSeconds stays one session;
+    // one microsecond more splits. Duplicate timestamps share a session.
+    val tiny = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:30:00"),
+      (1L, "2024-01-01 01:00:00.000001"), (2L, "2024-01-01 00:00:00"),
+      (2L, "2024-01-01 00:00:00"))
+      .toDF("user_id", "raw").select(col("user_id"), col("raw").cast("timestamp").as("ts"))
+    val t = Sessions.sessionize(tiny, "user_id", "ts", gapSeconds = 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(t == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L)))
+    intercept[IllegalArgumentException](Sessions.sessionize(tiny, "user_id", "ts", 0))
+  }
+
+  test("bm25 top-k equals a brute single-process recomputation") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").select("doc_id", "text")
+    val terms = Seq("spark", "join", "vector")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+    val dls = rows.map { case (id, t) => id -> toks(t).length.toLong }.toMap
+    val n = rows.length.toDouble
+    val avgdl = dls.values.sum.toDouble / rows.length
+    val tf = rows.flatMap { case (id, t) => toks(t).filter(terms.contains).map((id, _)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dfm = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val scored = tf.toSeq.map { case ((id, term), f) =>
+      val idf = math.round(math.log((n - dfm(term) + 0.5) / (dfm(term) + 0.5) + 1.0) * 1000)
+      val tfn = math.round(1000.0 * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dls(id) / avgdl)))
+      (id, idf * tfn)
+    }.groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).sum, xs.length.toLong) }
+    val expected = scored.toSeq.sortBy(x => (-x._2, x._1)).take(20)
+    val got = TextOps.bm25Top(docs, terms, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+    intercept[IllegalArgumentException](TextOps.bm25Top(docs, Seq.empty, 5))
+    intercept[IllegalArgumentException](TextOps.bm25Top(docs, terms, 0))
   }
 
   test("media pipeline: stub decode is deterministic with correct schema and batching") {
