@@ -1116,7 +1116,7 @@ object SparkEntry {
         |           AS term_score
         |  FROM tf JOIN df USING (term) CROSS JOIN stats s
         |)
-        |SELECT doc_id, sum(term_score) AS score, count(*) AS n_terms_matched
+        |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score, count(*) AS n_terms_matched
         |FROM scored GROUP BY 1
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
