@@ -630,6 +630,14 @@ object SparkEntry {
         Seq("spark", "join", "vector"), k = 20)
     }),
 
+    // test-set decontamination: corpus docs sharing any exact word 8-gram
+    // with the benchmark subset (doc_id % 20 == 0); benchmark grams
+    // broadcast, corpus touched once map-side
+    "q66_decontaminate" -> ((s, dir) => {
+      TextOps.contaminated(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id") % 20 === 0, n = 8)
+    }),
+
     // relational coverage: agg, broadcast join + top-n, window
     "q20_lineitem_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1119,6 +1127,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score, count(*) AS n_terms_matched
         |FROM scored GROUP BY 1
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q66_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, array_to_string(t[i+1:i+8], ' ') AS gram
+        |  FROM toks, unnest(CASE WHEN len(t) >= 8 THEN range(0, len(t)-8+1) ELSE [] END) AS u(i)
+        |), bench AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0
+        |), corpus AS (
+        |  SELECT doc_id, gram FROM grams WHERE doc_id % 20 <> 0
+        |)
+        |SELECT doc_id, count(DISTINCT gram) AS n_hits
+        |FROM corpus JOIN bench USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q61_split" ->
       """SELECT doc_id,

@@ -128,6 +128,44 @@ object TextOps {
       .limit(k)
   }
 
+  /** Test-set decontamination: flag corpus documents that share any exact
+    * word n-gram with a benchmark document set — the standard pre-training
+    * hygiene pass (distinct from near-dup dedup: this is cross-set EXACT
+    * n-gram containment, the criterion eval suites publish).
+    *
+    * `benchPred` selects the benchmark rows out of `docs` (in production
+    * the benchmark suite is its own small table; the shape is identical).
+    * Returns (doc_id, n_hits = distinct contaminated n-grams), benchmark
+    * rows excluded, ordered by doc_id.
+    *
+    * Scale shape: the benchmark side is tiny (eval suites are KBs against
+    * a 100 TB corpus), so the gram join is `broadcast()` — the corpus is
+    * touched ONCE, map-side, no shuffle of the exploded gram stream; the
+    * only exchange is the final doc_id count-distinct aggregation, which
+    * partial-aggregates map-side. Gram explosion is `transform` over
+    * builtin `slice`/`concat_ws` — whole-stage codegen, no UDF. At
+    * production scale hash each gram to 16 bytes before broadcast
+    * (halves the broadcast and the probe width); kept as raw strings
+    * here so the DuckDB oracle replays byte-for-byte.
+    */
+  def contaminated(docs: DataFrame, benchPred: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+    // sequence(a, b) descends when b < a — guard short docs to an empty gram list.
+    val grams = transform(
+      when(size(col("toks")) >= n, sequence(lit(0), size(col("toks")) - n))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))
+    val g = docs.select(col("doc_id"), toks.as("toks"), benchPred.as("is_bench"))
+      .select(col("doc_id"), col("is_bench"), explode(grams).as("gram"))
+    val bench = g.where(col("is_bench")).select("gram").distinct()
+    g.where(!col("is_bench"))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Fingerprints: order-sensitive rolling hash + winnowing min-shingle. */
   def fingerprints(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"),

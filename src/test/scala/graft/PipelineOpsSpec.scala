@@ -573,6 +573,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextOps.bm25Top(docs, terms, 0))
   }
 
+  test("decontamination equals a brute cross-set n-gram intersection") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").select("doc_id", "text")
+    val n = 8
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+    def grams(t: String): Seq[String] =
+      toks(t).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val benchGrams = rows.filter(_._1 % 20 == 0).flatMap(g => grams(g._2)).toSet
+    val expected = rows.filter(_._1 % 20 != 0)
+      .map { case (id, t) => id -> grams(t).distinct.count(benchGrams.contains).toLong }
+      .filter(_._2 > 0).sortBy(_._1).toSeq
+    val result = TextOps.contaminated(docs, col("doc_id") % 20 === 0, n)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan) // bench grams broadcast
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+    val got = result.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // benchmark rows never appear in the output even when they self-match
+    assert(got.forall(_._1 % 20 != 0))
+    // short-doc guard: a doc below n tokens contributes no grams and no crash
+    import spark.implicits._
+    val tiny = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "too short"), (3L, "unrelated words entirely here nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    val t = TextOps.contaminated(tiny, col("doc_id") % 2 === 0, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(t == Seq((1L, 2L))) // two 8-grams of the 9-token twin match doc 0
+    intercept[IllegalArgumentException](TextOps.contaminated(tiny, col("doc_id") === 0, 0))
+  }
+
   test("media pipeline: stub decode is deterministic with correct schema and batching") {
     val media = Media.mediaTable(spark, Sf)
     assert(media.schema("payload").dataType.typeName == "binary")
