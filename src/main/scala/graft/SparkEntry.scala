@@ -630,6 +630,13 @@ object SparkEntry {
         Seq("spark", "join", "vector"), k = 20)
     }),
 
+    // Gopher/C4-style repetition quality scores: duplicate word/2-gram/
+    // 3-gram fractions as floor-milli ints; pure codegen projection
+    "q67_repetition" -> ((s, dir) => {
+      TextOps.repetition(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
     // test-set decontamination: corpus docs sharing any exact word 8-gram
     // with the benchmark subset (doc_id % 20 == 0); benchmark grams
     // broadcast, corpus touched once map-side
@@ -1127,6 +1134,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score, count(*) AS n_terms_matched
         |FROM scored GROUP BY 1
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q67_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(t) >= 2 THEN list_transform(range(0, len(t)-1), i -> array_to_string(t[i+1:i+2], ' ')) ELSE [] END AS g2,
+        |    CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t)-2), i -> array_to_string(t[i+1:i+3], ' ')) ELSE [] END AS g3
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN len(t) > 0 THEN floor(1000.0 * (len(t) - len(list_distinct(t))) / len(t)) ELSE 0 END AS BIGINT) AS dup_word_milli,
+        |  CAST(CASE WHEN len(g2) > 0 THEN floor(1000.0 * (len(g2) - len(list_distinct(g2))) / len(g2)) ELSE 0 END AS BIGINT) AS dup_2gram_milli,
+        |  CAST(CASE WHEN len(g3) > 0 THEN floor(1000.0 * (len(g3) - len(list_distinct(g3))) / len(g3)) ELSE 0 END AS BIGINT) AS dup_3gram_milli
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q66_decontaminate" ->
       """WITH toks AS (

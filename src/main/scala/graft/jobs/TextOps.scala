@@ -128,6 +128,39 @@ object TextOps {
       .limit(k)
   }
 
+  /** Repetition-based quality scores (the Gopher/C4 family of filters):
+    * duplicate word / 2-gram / 3-gram fractions per document, emitted as
+    * floor-milli integers so the DuckDB oracle replays exactly. Highly
+    * repetitive documents (boilerplate, keyword stuffing, decode garbage)
+    * score high and get dropped by a threshold filter downstream.
+    *
+    * Pure per-row projection over builtin `transform`/`slice`/
+    * `array_distinct` — whole-stage codegen, ZERO shuffles at any scale;
+    * short docs (< n tokens) score 0 rather than dividing by zero.
+    */
+  def repetition(corpus: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+    def grams(ts: Column, n: Int): Column =
+      transform(
+        when(size(ts) >= n, sequence(lit(0), size(ts) - n))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n))))
+    def dupMilli(g: Column): Column =
+      when(size(g) > 0,
+        floor(lit(1000.0) * (size(g) - size(array_distinct(g))) / size(g)))
+        .otherwise(lit(0))
+        .cast("long")
+    corpus
+      .withColumn("t", toks)
+      .withColumn("g2", grams(col("t"), 2))
+      .withColumn("g3", grams(col("t"), 3))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        dupMilli(col("t")).as("dup_word_milli"),
+        dupMilli(col("g2")).as("dup_2gram_milli"),
+        dupMilli(col("g3")).as("dup_3gram_milli"))
+  }
+
   /** Test-set decontamination: flag corpus documents that share any exact
     * word n-gram with a benchmark document set — the standard pre-training
     * hygiene pass (distinct from near-dup dedup: this is cross-set EXACT

@@ -605,6 +605,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextOps.contaminated(tiny, col("doc_id") === 0, 0))
   }
 
+  test("repetition quality scores equal a brute recomputation with no shuffle") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").select("doc_id", "text")
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+    def dupMilli(xs: Seq[String]): Long =
+      if (xs.isEmpty) 0L
+      else math.floor(1000.0 * (xs.length - xs.distinct.length) / xs.length).toLong
+    def gramsOf(ts: Seq[String], n: Int): Seq[String] =
+      ts.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+    val expected = docs.collect().map { r =>
+      val ts = toks(r.getString(1))
+      (r.getLong(0), ts.length.toLong, dupMilli(ts),
+        dupMilli(gramsOf(ts, 2)), dupMilli(gramsOf(ts, 3)))
+    }.sortBy(_._1).toSeq
+    val rep = TextOps.repetition(docs)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // pure projection, zero shuffles
+    val got = rep.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == expected && got.nonEmpty)
+    // short docs score 0 instead of dividing by zero; a pure repeat maxes out
+    import spark.implicits._
+    val tiny = Seq((0L, "x"), (1L, "a b"), (2L, ""), (3L, "w w w w"))
+      .toDF("doc_id", "text")
+    val t = TextOps.repetition(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(t == Set((0L, 1L, 0L, 0L, 0L), (1L, 2L, 0L, 0L, 0L),
+      (2L, 0L, 0L, 0L, 0L), (3L, 4L, 750L, 666L, 500L)))
+  }
+
   test("media pipeline: stub decode is deterministic with correct schema and batching") {
     val media = Media.mediaTable(spark, Sf)
     assert(media.schema("payload").dataType.typeName == "binary")
