@@ -639,10 +639,12 @@ object SparkEntry {
 
     // test-set decontamination: corpus docs sharing any exact word 8-gram
     // with the benchmark subset (doc_id % 20 == 0); benchmark grams
-    // broadcast, corpus touched once map-side
+    // broadcast so the corpus gram stream is filtered map-side — only
+    // contaminated grams ever shuffle
     "q66_decontaminate" -> ((s, dir) => {
       TextOps.contaminated(s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id") % 20 === 0, n = 8)
+        .orderBy("doc_id")
     }),
 
     // relational coverage: agg, broadcast join + top-n, window
@@ -1109,7 +1111,7 @@ object SparkEntry {
     "q65_bm25" ->
       """WITH docs AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |         COALESCE(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''), []) AS toks
         |  FROM documents
         |), dls AS (
         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs
@@ -1138,7 +1140,7 @@ object SparkEntry {
     "q67_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+        |         COALESCE(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''), []) AS t
         |  FROM documents
         |), g AS (
         |  SELECT doc_id, t,
@@ -1156,7 +1158,7 @@ object SparkEntry {
     "q66_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+        |         COALESCE(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''), []) AS t
         |  FROM documents
         |), grams AS (
         |  SELECT doc_id, array_to_string(t[i+1:i+8], ' ') AS gram

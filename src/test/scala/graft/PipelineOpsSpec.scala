@@ -589,7 +589,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val plan = result.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan) // bench grams broadcast
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
-    val got = result.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = result.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(got == expected && got.nonEmpty)
     // benchmark rows never appear in the output even when they self-match
     assert(got.forall(_._1 % 20 != 0))
@@ -597,7 +597,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val tiny = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta iota"),
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
-      (2L, "too short"), (3L, "unrelated words entirely here nothing shared at all ok"))
+      (2L, "too short"), (3L, "unrelated words entirely here nothing shared at all ok"),
+      (5L, null.asInstanceOf[String])) // NULL text contributes no grams on either side
       .toDF("doc_id", "text")
     val t = TextOps.contaminated(tiny, col("doc_id") % 2 === 0, n)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -628,12 +629,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
     // short docs score 0 instead of dividing by zero; a pure repeat maxes out
     import spark.implicits._
-    val tiny = Seq((0L, "x"), (1L, "a b"), (2L, ""), (3L, "w w w w"))
+    val tiny = Seq((0L, "x"), (1L, "a b"), (2L, ""), (3L, "w w w w"),
+      (4L, null.asInstanceOf[String])) // NULL text = zero tokens, never size(NULL) = -1
       .toDF("doc_id", "text")
     val t = TextOps.repetition(tiny).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(t == Set((0L, 1L, 0L, 0L, 0L), (1L, 2L, 0L, 0L, 0L),
-      (2L, 0L, 0L, 0L, 0L), (3L, 4L, 750L, 666L, 500L)))
+      (2L, 0L, 0L, 0L, 0L), (3L, 4L, 750L, 666L, 500L), (4L, 0L, 0L, 0L, 0L)))
   }
 
   test("media pipeline: stub decode is deterministic with correct schema and batching") {
