@@ -630,6 +630,16 @@ object SparkEntry {
         Seq("spark", "join", "vector"), k = 20)
     }),
 
+    // balanced per-group downsampling: cap each event_type at 50 rows by
+    // deterministic salted md5 order — one hash exchange, no global sort
+    "q68_capped_sample" -> ((s, dir) => {
+      Split.cappedPerGroup(
+          s.read.parquet(s"$dir/events.parquet").select("event_type", "event_id"),
+          "event_type", col("event_id"), "graft", k = 50)
+        .select(col("event_type"), col("event_id"), col("sample_rank"))
+        .orderBy("event_type", "sample_rank")
+    }),
+
     // Gopher/C4-style repetition quality scores: duplicate word/2-gram/
     // 3-gram fractions as floor-milli ints; pure codegen projection
     "q67_repetition" -> ((s, dir) => {
@@ -1136,6 +1146,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score, count(*) AS n_terms_matched
         |FROM scored GROUP BY 1
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q68_capped_sample" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY
+        |           CAST(('0x' || substr(md5('graft:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |           CAST(event_id AS VARCHAR)) AS sample_rank
+        |  FROM events
+        |)
+        |SELECT event_type, event_id, CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM r WHERE sample_rank <= 50
+        |ORDER BY event_type, sample_rank""".stripMargin,
 
     "q67_repetition" ->
       """WITH toks AS (

@@ -1,6 +1,7 @@
 package graft.jobs
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic train/validation/test assignment for training-data
@@ -38,5 +39,35 @@ object Split {
           .when(col("split_bucket") < trainBp, "train")
           .when(col("split_bucket") < trainBp + valBp, "val")
           .otherwise("test"))
+  }
+
+  /** Balanced downsampling: keep at most `k` rows per group, picked by the
+    * deterministic salted md5-prefix order of `orderKey` — the "cap the
+    * over-represented domains/languages" pass of a corpus-balancing
+    * pipeline. Like [[assign]], selection is a pure function of
+    * (salt, key): stable across runs, partitionings and cluster sizes, and
+    * exactly replayable by the DuckDB oracle (same 60-bit hash family).
+    *
+    * `orderKey` must be non-null and must uniquely identify a row (or at
+    * least its full content) — otherwise which of several hash-tied rows
+    * survives the cap is engine-dependent. Adds `sample_rank` (1-based
+    * within group).
+    *
+    * Scale shape: ONE hash exchange on `groupCol`; the per-group sort is
+    * in-partition (window + filter, no global sort). A single giant group
+    * serializes into one partition — the same documented caveat as
+    * [[Quantiles.exact]]; for k << group at that scale, pre-filter with a
+    * coarse hash-range cut before the window. NULLS-LAST ordering matches
+    * the DuckDB default so both engines agree even if a null slips in.
+    */
+  def cappedPerGroup(df: DataFrame, groupCol: String, orderKey: Column,
+                     salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"per-group cap must be >= 1, got $k")
+    val rankHash =
+      Dedup.md5Half(concat(lit(salt), lit(":"), orderKey.cast("string")), 1)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(rankHash.asc_nulls_last, orderKey.cast("string").asc_nulls_last)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
   }
 }

@@ -438,6 +438,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("capped per-group sample equals a brute md5-order pick; deterministic under repartition") {
+    val ev = spark.read.parquet(s"$Sf/events.parquet").select("event_type", "event_id")
+    def hash60(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val k = 7
+    val rows = ev.collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      g.map(_._2).sortBy(id => (hash60(id.toString), id.toString))
+        .take(k).zipWithIndex.map { case (id, i) => (t, id, (i + 1).toLong) }
+    }.toSet
+    val capped = Split.cappedPerGroup(ev, "event_type", col("event_id"), "graft", k)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan) // one hash exchange, no global sort
+    val got = capped.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected && got.nonEmpty)
+    // every group is capped at k but small groups keep all their rows
+    val perGroup = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGroup.values.forall(_ <= k))
+    // stability under repartition
+    val again = Split.cappedPerGroup(ev.repartition(7), "event_type", col("event_id"), "graft", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got)
+    // cap larger than any group keeps everything, rank stays 1-based dense
+    val all = Split.cappedPerGroup(ev, "event_type", col("event_id"), "graft", 1000000)
+      .collect()
+    assert(all.length == rows.length)
+    intercept[IllegalArgumentException](
+      Split.cappedPerGroup(ev, "event_type", col("event_id"), "graft", 0))
+  }
+
   test("split: exact md5 assignment matches JVM recomputation; deterministic under repartition") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet").select("doc_id")
     val got = Split.assign(docs, "doc_id", "graft").collect()
