@@ -74,6 +74,30 @@ object Adapters {
     null
   }
 
+  /** Fused geom-span PARSE: like [[spanEnvelope]] but returns the decoded
+    * WKB bytes alongside the envelope in one struct, so the ingest path
+    * (which needs BOTH the wkb column and the stat columns) hex-decodes
+    * each row once instead of twice — the composed chain and the fused
+    * envelope each paid their own decode. Null on no geom span / null /
+    * malformed hex, exactly like [[spanEnvelope]] and the composed chain.
+    */
+  def spanFeature(spans: ArrayData): InternalRow = {
+    val n = spans.numElements()
+    var i = 0
+    while (i < n) {
+      val s = spans.getStruct(i, 4)
+      if (s != null && !s.isNullAt(0) && s.getUTF8String(0).equals(GeomKind)) {
+        if (s.isNullAt(2)) return null
+        val wkb = hexToBytes(s.getUTF8String(2))
+        if (wkb == null) return null
+        val e = Wkb.envelopeOf(wkb)
+        return new GenericInternalRow(Array[Any](wkb, e.minLng, e.minLat, e.maxLng, e.maxLat))
+      }
+      i += 1
+    }
+    null
+  }
+
   /** unhex twin: null on odd length or non-hex chars (never throws). */
   private def hexToBytes(hex: UTF8String): Array[Byte] = {
     val h = hex.getBytes

@@ -71,6 +71,20 @@ object GraftFunctions {
   def gmSpanEnvelope(spans: Column): Column =
     inv(Adapters.getClass, envStruct, "spanEnvelope", Seq(ex(spans)), nullable = true)
 
+  private val spanFeatStruct = StructType(Seq(
+    StructField("wkb", BinaryType, nullable = false),
+    StructField("min_lng", IntegerType, nullable = false),
+    StructField("min_lat", IntegerType, nullable = false),
+    StructField("max_lng", IntegerType, nullable = false),
+    StructField("max_lat", IntegerType, nullable = false)))
+
+  /** Fused geom-span parse (wkb + envelope from ONE hex decode) — the
+    * ingest-path twin of [[gmSpanEnvelope]] for consumers that need both
+    * the geometry bytes and the stat columns. Nullable like the chain.
+    */
+  def gmSpanFeature(spans: Column): Column =
+    inv(Adapters.getClass, spanFeatStruct, "spanFeature", Seq(ex(spans)), nullable = true)
+
   def stAsText(wkb: Column): Column =
     inv(Adapters.getClass, StringType, "asText", Seq(ex(wkb)))
 

@@ -344,25 +344,60 @@ class FgbReaderFactory(bbox: Option[Envelope], required: StructType,
         }
         // pushed limit: per-partition stop (decoding halts with the
         // iterator — later blocks are never read off the stream)
-        val feats = limit.fold(raw)(raw.take)
-        feats.map { case (off, f) =>
-          rowsDecoded += 1
-          FgbTable.FgbRow(file, off, graft.geom.Wkb.write(f.geom),
-            f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) },
-            f.props.map(_._1),
-            f.props.map { case (_, v) => GeoJson.propValueString(v) },
-            f.geom.envelope.minLng, f.geom.envelope.minLat,
-            f.geom.envelope.maxLng, f.geom.envelope.maxLat)
-        }
+        limit.fold(raw)(raw.take)
       }
+
+      // Column-pruned DIRECT row building — same shape as the geomedea
+      // reader (guide §4): skip FgbRow + the whole-row encoder unless the
+      // nested `props` column is actually required.
+      private val fileUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(file)
+      private val needsEnv = Set("min_lng", "min_lat", "max_lng", "max_lat")
+        .exists(required.fieldNames.contains)
+      private val directGens:
+          Array[((Long, graft.codec.FeatureCodec.Feature), Envelope) => Any] =
+        if (required.fieldNames.contains("props")) null
+        else required.fields
+          .map[((Long, graft.codec.FeatureCodec.Feature), Envelope) => Any] {
+          f => f.name match {
+            case "source_file"    => (_, _) => fileUtf8
+            case "feature_offset" => (r, _) => r._1
+            case "wkb"            => (r, _) => graft.geom.Wkb.write(r._2.geom)
+            case "prop_keys"      => (r, _) =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                r._2.props.map(p =>
+                  org.apache.spark.unsafe.types.UTF8String.fromString(p._1)).toArray[Any])
+            case "prop_vals"      => (r, _) =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                r._2.props.map(p => org.apache.spark.unsafe.types.UTF8String.fromString(
+                  GeoJson.propValueString(p._2))).toArray[Any])
+            case "min_lng"        => (_, e) => e.minLng
+            case "min_lat"        => (_, e) => e.minLat
+            case "max_lng"        => (_, e) => e.maxLng
+            case "max_lat"        => (_, e) => e.maxLat
+            case other => throw new IllegalStateException(s"unknown fgb column $other")
+          }
+        }
 
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!iter.hasNext) return false
-        val fullRow = serializer(iter.next())
+        val (off, f) = iter.next()
+        rowsDecoded += 1
         current =
-          if (proj.length == full.length) fullRow.copy()
-          else new GenericInternalRow(proj.map { case (i, dt) => fullRow.get(i, dt) })
+          if (directGens != null) {
+            val env = if (needsEnv) f.geom.envelope else null
+            new GenericInternalRow(directGens.map(g => g((off, f), env)))
+          } else {
+            val row = FgbTable.FgbRow(file, off, graft.geom.Wkb.write(f.geom),
+              f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) },
+              f.props.map(_._1),
+              f.props.map { case (_, v) => GeoJson.propValueString(v) },
+              f.geom.envelope.minLng, f.geom.envelope.minLat,
+              f.geom.envelope.maxLng, f.geom.envelope.maxLat)
+            val fullRow = serializer(row)
+            if (proj.length == full.length) fullRow.copy()
+            else new GenericInternalRow(proj.map { case (i, dt) => fullRow.get(i, dt) })
+          }
         true
       }
       override def get(): InternalRow = current

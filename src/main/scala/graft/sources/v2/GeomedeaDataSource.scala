@@ -483,6 +483,42 @@ class GeomedeaReaderFactory(bbox: Option[Envelope], required: StructType,
       private val serializer = GeomedeaTable.rowEncoder.createSerializer()
       private val full = GeomedeaTable.Schema
       private val proj = required.fields.map(f => (full.fieldIndex(f.name), f.dataType))
+      // Column-pruned DIRECT row building (guide §4: no per-row encoder):
+      // every required field except `props` (nested PropCell structs — the
+      // one shape the ExpressionEncoder earns its keep on) is cheap to
+      // emit by hand, so a pruned scan skips the full GmRow construction
+      // (Wkb.write, three props maps, a UTF8String per row) AND the
+      // whole-row serializer, building ONLY what the query asked for.
+      // Identical values to the encoder path — locked by DataSourceV2Spec
+      // row-equality across projections.
+      private val fileUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(file)
+      private val needsEnv = Set("min_lng", "min_lat", "max_lng", "max_lat")
+        .exists(required.fieldNames.contains)
+      private val directGens:
+          Array[(((Long, Int), graft.codec.FeatureCodec.Feature), Envelope) => Any] =
+        if (required.fieldNames.contains("props")) null
+        else required.fields
+          .map[(((Long, Int), graft.codec.FeatureCodec.Feature), Envelope) => Any] {
+          f => f.name match {
+            case "source_file"    => (_, _) => fileUtf8
+            case "page_offset"    => (r, _) => r._1._1
+            case "feature_offset" => (r, _) => r._1._2
+            case "wkb"            => (r, _) => graft.geom.Wkb.write(r._2.geom)
+            case "prop_keys"      => (r, _) =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                r._2.props.map(p =>
+                  org.apache.spark.unsafe.types.UTF8String.fromString(p._1)).toArray[Any])
+            case "prop_vals"      => (r, _) =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                r._2.props.map(p => org.apache.spark.unsafe.types.UTF8String.fromString(
+                  GeoJson.propValueString(p._2))).toArray[Any])
+            case "min_lng"        => (_, e) => e.minLng
+            case "min_lat"        => (_, e) => e.minLat
+            case "max_lng"        => (_, e) => e.maxLng
+            case "max_lat"        => (_, e) => e.maxLat
+            case other => throw new IllegalStateException(s"unknown geomedea column $other")
+          }
+        }
       private var pagesDecoded = 0L
       private var bytesDecoded = 0L
       private var rowsDecoded = 0L
@@ -553,24 +589,31 @@ class GeomedeaReaderFactory(bbox: Option[Envelope], required: StructType,
                 pagesDecoded += 1; bytesDecoded += bytes
               })
           }
-        feats.map { case ((pageOff, featOff), f) =>
-          rowsDecoded += 1
-          GeomedeaTable.GmRow(file, pageOff, featOff, graft.geom.Wkb.write(f.geom),
-            f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) },
-            f.props.map(_._1),
-            f.props.map { case (_, v) => GeoJson.propValueString(v) },
-            f.geom.envelope.minLng, f.geom.envelope.minLat,
-            f.geom.envelope.maxLng, f.geom.envelope.maxLat)
-        }
+        feats
       }
 
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!iter.hasNext) return false
-        val fullRow = serializer(iter.next())
+        val loc = iter.next()
+        rowsDecoded += 1
         current =
-          if (proj.length == full.length) fullRow.copy()
-          else new GenericInternalRow(proj.map { case (i, dt) => fullRow.get(i, dt) })
+          if (directGens != null) {
+            val env = if (needsEnv) loc._2.geom.envelope else null
+            new GenericInternalRow(directGens.map(g => g(loc, env)))
+          } else {
+            val ((pageOff, featOff), f) = loc
+            val row = GeomedeaTable.GmRow(file, pageOff, featOff,
+              graft.geom.Wkb.write(f.geom),
+              f.props.map { case (k, v) => GeoJsonIngest.toCell(k, v) },
+              f.props.map(_._1),
+              f.props.map { case (_, v) => GeoJson.propValueString(v) },
+              f.geom.envelope.minLng, f.geom.envelope.minLat,
+              f.geom.envelope.maxLng, f.geom.envelope.maxLat)
+            val fullRow = serializer(row)
+            if (proj.length == full.length) fullRow.copy()
+            else new GenericInternalRow(proj.map { case (i, dt) => fullRow.get(i, dt) })
+          }
         true
       }
       override def get(): InternalRow = current
