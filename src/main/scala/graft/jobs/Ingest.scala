@@ -74,6 +74,14 @@ object Ingest {
       // 42.5 s for the same 2M-doc write) — at 100 TB the encode CPU is
       // the ingest bottleneck, the 2% transfer delta is noise
       .option("parquet.compression.codec.zstd.level", "1")
+      // dictionary encoding OFF: the payload columns (doc_id, span text /
+      // media_ref / hex-WKB) are near-unique per row, so parquet builds
+      // per-column dictionaries that never bind and falls back — measured
+      // 3.53 s -> 0.69 s for the isolated 2M-doc encode AND 2.6% smaller
+      // files (dictionary pages are pure overhead on unique strings).
+      // Row-group min/max stats (the bbox-pruned-scan path) are
+      // dictionary-independent.
+      .option("parquet.enable.dictionary", "false")
       .parquet(s"$outDir/docs")
     val lineage = spark.read.parquet(s"$outDir/docs")
       // explicit projection: the stats scan must never deserialize spans
