@@ -83,7 +83,9 @@ object GraftFunctions {
     * the geometry bytes and the stat columns. Nullable like the chain.
     */
   def gmSpanFeature(spans: Column): Column =
-    inv(Adapters.getClass, spanFeatStruct, "spanFeature", Seq(ex(spans)), nullable = true)
+    GraftSqlShim.column(OpaquePure(
+      StaticInvoke(Adapters.getClass, spanFeatStruct, "spanFeature", Seq(ex(spans)),
+        inputTypes = Nil, propagateNull = true, returnNullable = true)))
 
   def stAsText(wkb: Column): Column =
     inv(Adapters.getClass, StringType, "asText", Seq(ex(wkb)))
