@@ -149,6 +149,20 @@ object Adapters {
         UTF8String.fromString(graft.sources.GeoJson.propValueString(p._2))).toArray[Any])))
   }
 
+  /** Range bucket of a key against DESC-sorted boundaries: the number of
+    * boundaries strictly greater than `h` (binary search) — bucket 0 holds
+    * the largest keys, matching a `repartitionByRange(col.desc)` layout.
+    */
+  def rangeBucketDesc(h: Long, boundaries: ArrayData): Int = {
+    var lo = 0
+    var hi = boundaries.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (boundaries.getLong(mid) > h) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   // --- Hilbert curve chunks (J6 range join) ---------------------------------
 
   private val World = graft.geom.Envelope(-1800000000, -900000000, 1800000000, 900000000)

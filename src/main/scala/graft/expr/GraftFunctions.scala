@@ -177,6 +177,13 @@ object GraftFunctions {
     inv(Adapters.getClass, ArrayType(LongType, containsNull = false), "hilbertChunksEnv",
       Seq(i(minLng), i(minLat), i(maxLng), i(maxLat), ex(lit(res))))
 
+  /** Range bucket against a DESC-sorted boundary literal (sampling-free
+    * range partitioning: the caller supplies exact boundaries).
+    */
+  def gmRangeBucketDesc(key: Column, boundaries: Array[Long]): Column =
+    inv(Adapters.getClass, IntegerType, "rangeBucketDesc",
+      Seq(l(key), ex(lit(boundaries))))
+
   // --- text fingerprints ----------------------------------------------------
 
   def gmSimhash(tokens: Column): Column =

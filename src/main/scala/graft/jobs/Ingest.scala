@@ -56,17 +56,82 @@ object Ingest {
       .sortWithinPartitions(col("hilbert").desc)
   }
 
+  /** One pass over `docsGeo` yielding BOTH the dataset extent and a
+    * deterministic hash sample of row-envelope centers (packed
+    * lng<<32|lat longs) — the boundary material for sampling-free range
+    * partitioning (guide §2.4: `repartitionByRange` would run a whole
+    * second pass over the parse lineage just to sample its boundaries).
+    * The sample rate 1/p is a power of two from the plan's size estimate;
+    * the estimate only shapes the SAMPLE SIZE (boundary balance), never
+    * correctness — callers fall back to the sampling exchange when the
+    * sample is too thin to cut `numPartitions` balanced ranges.
+    */
+  private def extentAndSample(docsGeo: DataFrame, targetSample: Int)
+  : (Envelope, Seq[Long]) = {
+    val estRows = (docsGeo.queryExecution.optimizedPlan.stats.sizeInBytes / 64)
+      .min(java.lang.Long.MAX_VALUE).toLong max 1L
+    val p = java.lang.Long.highestOneBit(math.max(1L, estRows / math.max(1, targetSample)))
+    val cLng = (col("min_lng") + shiftright(col("max_lng").cast("long") - col("min_lng"), 1))
+      .cast("int")
+    val cLat = (col("min_lat") + shiftright(col("max_lat").cast("long") - col("min_lat"), 1))
+      .cast("int")
+    val packed = shiftleft(cLng.cast("long"), 32)
+      .bitwiseOR(cLat.cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+    val r = docsGeo.agg(
+      min("min_lng"), min("min_lat"), max("max_lng"), max("max_lat"),
+      collect_list(when(xxhash64(col("doc_id")).bitwiseAND(lit(p - 1)) === 0, packed))
+        .as("sample")).head()
+    if (r.isNullAt(0)) (Envelope.empty, Seq.empty)
+    else (Envelope(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)), r.getSeq[Long](4))
+  }
+
   /** Write the clustered table + a NEW `_lineage/v=N` manifest snapshot
     * (N strictly increasing — emulated Iceberg snapshot history: readers
     * pin a version, [[lineageAt]] time-travels, [[lineage]] reads the
     * latest; concurrent writers conflict only on the tiny snapshot dir
     * create, which the filesystem makes atomic). The docs dir itself is
     * last-writer-wins like a compaction rewrite. Returns the lineage DF.
+    *
+    * Layout pass structure (r6): ONE stats+sample pass ([[extentAndSample]])
+    * replaces the r5 extent pass + `repartitionByRange`'s own sampling
+    * pass — the parse lineage is now scanned twice total (stats, then the
+    * shuffle map side) instead of three times. Hilbert range boundaries
+    * are cut from the sampled centers on the driver and rows are placed
+    * with an exact bucket shuffle (`GraftSqlShim.repartitionByBucket`).
+    * The written layout contract is unchanged: descending-contiguous
+    * disjoint Hilbert ranges across files, descending order within each
+    * file. A too-thin sample (tiny input or a wild size estimate) falls
+    * back to the classic sampling exchange ([[clustered]]).
     */
   def write(docsGeo: DataFrame, outDir: String, numPartitions: Int,
             codec: String = "zstd"): DataFrame = {
     val spark = docsGeo.sparkSession
-    clustered(docsGeo, numPartitions)
+    val (ext, sample) = extentAndSample(docsGeo, math.max(4096, numPartitions * 128))
+    val laidOut =
+      if (sample.length < 4 * numPartitions || numPartitions <= 1) {
+        // thin sample: one balanced range per partition is not derivable —
+        // use the classic sampling exchange (extent already known)
+        withHilbert(docsGeo, ext)
+          .repartitionByRange(numPartitions, col("hilbert").desc)
+          .sortWithinPartitions(col("hilbert").desc)
+      } else {
+        val hs = sample.map(c =>
+          graft.curve.Hilbert.scaledHilbert((c >> 32).toInt, c.toInt,
+            ext.minLng, ext.minLat, ext.maxLng, ext.maxLat))
+          .sorted(Ordering[Long].reverse).toIndexedSeq
+        val boundaries = Array.tabulate(numPartitions - 1) { i =>
+          hs(((i + 1).toLong * hs.length / numPartitions).toInt)
+        }
+        val bucketed = withHilbert(docsGeo, ext)
+          .withColumn("__bucket",
+            coalesce(graft.expr.GraftFunctions.gmRangeBucketDesc(col("hilbert"), boundaries),
+              lit(numPartitions - 1))) // null hilbert sorts last, like hilbert DESC
+        org.apache.spark.sql.GraftSqlShim
+          .repartitionByBucket(bucketed, numPartitions, "__bucket")
+          .drop("__bucket")
+          .sortWithinPartitions(col("hilbert").desc)
+      }
+    laidOut
       .write.mode(SaveMode.Overwrite)
       .option("compression", codec)
       // zstd level 1, not the parquet default (3): measured 2.1x faster

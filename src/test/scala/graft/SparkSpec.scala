@@ -216,6 +216,28 @@ class SparkSpec extends AnyFunSuite {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("exact-bucket layout equals the sampling exchange: same rows, disjoint desc ranges") {
+    // r6 write() replaces repartitionByRange's sampling pass with exact
+    // boundaries from the single stats+sample pass; this locks the layout
+    // contract the swap must preserve
+    val out = java.nio.file.Files.createTempDirectory("graft_exact").toString
+    Ingest.write(geo, out, numPartitions = 4)
+    val written = spark.read.parquet(s"$out/docs")
+    // identical row set to the input (no row lost/duplicated by placement)
+    assert(rows(written, "doc_id", "hilbert") ==
+      rows(Ingest.withHilbert(geo, Ingest.extent(geo)), "doc_id", "hilbert"))
+    // per-file [min,max] hilbert ranges are DISJOINT (range-partitioned
+    // files, the pruning + pendingAfter contract)
+    val ranges = written.withColumn("file", input_file_name())
+      .groupBy("file").agg(min("hilbert").as("lo"), max("hilbert").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlapping file ranges: $ranges")
+      case _ => ()
+    }
+    assert(ranges.length > 1, "exact-bucket path should cut multiple files here")
+  }
+
   test("ingest layout: hilbert descending across and within partitions; lineage sums match") {
     val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     val lineage = Ingest.write(geo, out, numPartitions = 4)
