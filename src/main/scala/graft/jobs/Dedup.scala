@@ -278,10 +278,29 @@ object Dedup {
     * keep their own id; `is_canonical` marks the component minimum — the
     * deterministic survivor regardless of algorithm or partitioning.
     */
+  /** Lineage cut cadence: with a RELIABLE checkpoint dir configured on the
+    * SparkContext, every k-th round (and the loop-invariant edge set)
+    * checkpoints to that directory instead of executor-local storage —
+    * `localCheckpoint` cuts lineage into executor blocks, so on a real
+    * cluster losing ONE executor mid-loop made the labels RDD
+    * unrecoverable and failed the whole job (at 100 TB the loop runs
+    * ~10+ rounds over billions of dup vertices; executor loss is
+    * routine). Intermediate rounds keep the cheap local cut: a loss
+    * then replays at most k-1 rounds from the last reliable snapshot.
+    * Without a checkpoint dir the r5 behavior is unchanged.
+    */
+  val ReliableEvery = 5
+
   def cluster(pairs: DataFrame, corpus: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def cutEdges(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def cutRound(df: DataFrame, round: Int): DataFrame =
+      if (reliable && round % ReliableEvery == ReliableEvery - 1) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val half = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
-    val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+    val edges = cutEdges(half.union(half.select(col("b").as("a"), col("a").as("b"))))
     // iterate ONLY over pair-touched vertices — near-dup pairs are a tiny
     // fraction of the corpus, and shuffling every document through every
     // propagation round would make the loop O(rounds x corpus) instead of
@@ -306,10 +325,10 @@ object Dedup {
           col("x.label") === col("lv"), "left")
         .select(col("x.v").as("v"),
           least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
-        .localCheckpoint(true)
-      converged = jumped.join(labels.withColumnRenamed("label", "old"), "v")
+      val cut = cutRound(jumped, round)
+      converged = cut.join(labels.withColumnRenamed("label", "old"), "v")
         .where(col("label") =!= col("old")).isEmpty
-      labels = jumped
+      labels = cut
       round += 1
     }
     corpus.select(col("doc_id").cast("long").as("doc_id")).distinct()

@@ -33,9 +33,21 @@ object Sessions {
                  gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
     val gapUs = math.multiplyExact(gapSeconds, 1000000L)
-    // NTZ columns cast through the session TZ (UTC in Verify/Bench), so
-    // epoch micros match DuckDB's epoch_us over the same naive timestamps.
-    val tsUs = unix_micros(col(tsCol).cast("timestamp"))
+    // TZ-independent epoch-microsecond extraction (r6 hardening): naive
+    // inputs (TIMESTAMP_NTZ / DATE / STRING wall times) measure micros
+    // against the NTZ epoch via timestampdiff — pure wall-clock integer
+    // math that a non-UTC `spark.sql.session.timeZone` cannot shift (the
+    // r5 `cast("timestamp")` routed NTZ through the session zone: correct
+    // under Verify/Bench's pinned UTC, silently drifted for a library
+    // caller in any other zone). Zoned inputs keep unix_micros, which is
+    // an absolute instant already.
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType}
+    val tsUs = events.schema(tsCol).dataType match {
+      case TimestampNTZType | DateType | StringType =>
+        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
+          s"CAST(`$tsCol` AS TIMESTAMP_NTZ))")
+      case _ => unix_micros(col(tsCol).cast("timestamp"))
+    }
     val byKey = Window.partitionBy(keyCol).orderBy(tsUs)
     val prev = lag(tsUs, 1).over(byKey)
     val boundary = when(prev.isNull || tsUs - prev > gapUs, 1L).otherwise(0L)

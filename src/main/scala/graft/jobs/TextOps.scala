@@ -196,7 +196,11 @@ object TextOps {
     */
   def contaminated(docs: DataFrame, benchPred: Column, n: Int): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val g = docs.select(col("doc_id"), tokens(col("text")).as("toks"), benchPred.as("is_bench"))
+    // NULL-predicate rows are CORPUS rows (coalesce to false): without
+    // this, a nullable benchPred silently dropped such rows from BOTH
+    // sides (where(p) and where(!p) each filter NULL) — ADVICE r5
+    val g = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
+      coalesce(benchPred, lit(false)).as("is_bench"))
       .select(col("doc_id"), col("is_bench"), explode(wordGrams(col("toks"), n)).as("gram"))
     val bench = g.where(col("is_bench")).select("gram").distinct()
     g.where(!col("is_bench"))

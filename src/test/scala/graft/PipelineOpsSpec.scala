@@ -154,6 +154,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.filter(t => t._1 >= 100L && t._1 <= 104L).forall(_._2 == 100L))
   }
 
+  test("cluster with a reliable checkpoint dir: identical output, snapshots on disk") {
+    // r6: with sc.checkpointDir set, the loop-invariant edges and every
+    // ReliableEvery-th round checkpoint RELIABLY (executor-loss-safe at
+    // scale) instead of executor-locally; semantics must not move
+    import spark.implicits._
+    val edges = ((0L until 23L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+    val pairsDf = edges.toDF("id_a", "id_b")
+    val corpusDf = ((0L to 23L) ++ Seq(100L, 101L, 900L)).toDF("doc_id")
+    val plain = Dedup.cluster(pairsDf, corpusDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val reliable = Dedup.cluster(pairsDf, corpusDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(reliable == plain)
+      // the 23-chain needs > ReliableEvery rounds, so at least one round
+      // (plus the edge set) must have snapshotted reliably
+      val snaps = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(snaps > 0, s"no reliable checkpoint files under $ckpt")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("simhash chunk-blocked pairs equal brute-force hamming join") {
     val blocked = Dedup.simhashPairs(corpus, 3).select("id_a", "id_b", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
@@ -453,7 +477,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     }.toSet
     val capped = Split.cappedPerGroup(ev, "event_type", col("event_id"), "graft", k)
     val plan = capped.queryExecution.executedPlan.toString
-    assert(plan.split("Exchange").length - 1 == 1, plan) // one hash exchange, no global sort
+    // count "Exchange hashpartitioning" (SURVEY.md's wording of the ONE-
+    // exchange guarantee), not the bare substring — a future Broadcast/
+    // Reused exchange node would otherwise fail this without any actual
+    // shuffle regression (ADVICE r5)
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
     val got = capped.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected && got.nonEmpty)
     // every group is capped at k but small groups keep all their rows
@@ -579,6 +607,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
     assert(t == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L)))
     intercept[IllegalArgumentException](Sessions.sessionize(tiny, "user_id", "ts", 0))
+  }
+
+  test("sessionize is session-timezone independent on naive timestamps") {
+    // r6 hardening: NTZ/string wall times measure against the NTZ epoch,
+    // so a non-UTC session zone cannot shift the micros (r5 cast routed
+    // them through spark.sql.session.timeZone)
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    def run(): Set[(Long, Long, Long, Long, Long)] =
+      Sessions.sessionize(ev, "user_id", "ts", gapSeconds = 1800).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    val base = run()
+    val original = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try assert(run() == base, "session TZ leaked into sessionization micros")
+    finally spark.conf.set("spark.sql.session.timeZone", original)
   }
 
   test("bm25 top-k equals a brute single-process recomputation") {
