@@ -195,6 +195,34 @@ object FeatureCodec {
     Feature(g, p)
   }
 
+  /** In-place decode of a `len`-byte feature at `r.pos` — the page-scan
+    * hot path (r6): no `copyOfRange` of the feature bytes, no second
+    * reader object. Identical validation to [[decodeFeature]]: the
+    * feature must consume exactly `len` bytes.
+    */
+  def decodeFeatureAt(r: R, len: Int): Feature = {
+    val end = r.pos + len
+    val g = readGeometry(r)
+    val p = readProps(r)
+    require(r.pos == end, s"${end - r.pos} trailing bytes after feature")
+    Feature(g, p)
+  }
+
+  /** Geometry-only in-place decode: parse the geometry, then JUMP over
+    * the props section (its extent is implied by the feature length — no
+    * string/value materialization). For scans whose projection needs no
+    * property column (e.g. `sum(length(wkb))` or a bbox COUNT), the
+    * per-feature prop decode is pure waste. Returns `Feature` with EMPTY
+    * props — callers must only use this when no props column is required.
+    */
+  def decodeFeatureGeomOnly(r: R, len: Int): Feature = {
+    val end = r.pos + len
+    val g = readGeometry(r)
+    require(r.pos <= end, s"geometry overran the ${len}-byte feature by ${r.pos - end}")
+    r.pos = end
+    Feature(g, Vector.empty)
+  }
+
   /** 17-byte file header (`lib.rs:92-97`; golden `lib.rs:180-195`). */
   def encodeHeader(isCompressed: Boolean, pageCount: Long, featureCount: Long): Array[Byte] =
     new W(17).u8(if (isCompressed) 1 else 0).u64(pageCount).u64(featureCount).result()

@@ -392,8 +392,15 @@ object GeomedeaFile {
     * FeatureLocations. `onPage(bytes)` fires per decoded page with its
     * encoded size (page header included) for scan metrics.
     */
+  /** `geomOnly = true` skips the per-feature props decode in place
+    * (pointer jump over the props bytes — no string/value allocation):
+    * for projections that need no property column. Emitted features then
+    * carry EMPTY props; the DSv2 reader asserts the projection before
+    * asking for it.
+    */
   def selectAllStream(in: java.io.DataInput,
-                      onPage: Long => Unit = _ => ()): Iterator[((Long, Int), Feature)] = {
+                      onPage: Long => Unit = _ => (),
+                      geomOnly: Boolean = false): Iterator[((Long, Int), Feature)] = {
     val head = new Array[Byte](FeatureCodec.HeaderBytes)
     in.readFully(head)
     val (compressed, pageCount, featureCount) = FeatureCodec.decodeHeader(new R(head))
@@ -421,7 +428,9 @@ object GeomedeaFile {
         inPage = Iterator.fill(count.toInt) {
           val featOff = pr.pos
           val len = pr.u64().toInt
-          ((thisPageStart, featOff), FeatureCodec.decodeFeature(pr.take(len)))
+          ((thisPageStart, featOff),
+            if (geomOnly) FeatureCodec.decodeFeatureGeomOnly(pr, len)
+            else FeatureCodec.decodeFeatureAt(pr, len))
         }
         onPage(FeatureCodec.PageHeaderBytes.toLong + encLen)
         pageStart += FeatureCodec.PageHeaderBytes.toLong + encLen
@@ -445,7 +454,8 @@ object GeomedeaFile {
     */
   def selectPageRange(in: java.io.DataInput, compressed: Boolean,
                       start: Long, end: Long, dataStart: Long,
-                      onPage: Long => Unit = _ => ()): Iterator[((Long, Int), Feature)] = {
+                      onPage: Long => Unit = _ => (),
+                      geomOnly: Boolean = false): Iterator[((Long, Int), Feature)] = {
     require(start >= dataStart && start < end,
       s"bad split range [$start,$end) for data section at $dataStart")
     new Iterator[((Long, Int), Feature)] {
@@ -467,7 +477,9 @@ object GeomedeaFile {
         inPage = Iterator.fill(count.toInt) {
           val featOff = pr.pos
           val len = pr.u64().toInt
-          ((pageRelStart, featOff), FeatureCodec.decodeFeature(pr.take(len)))
+          ((pageRelStart, featOff),
+            if (geomOnly) FeatureCodec.decodeFeatureGeomOnly(pr, len)
+            else FeatureCodec.decodeFeatureAt(pr, len))
         }
         onPage(FeatureCodec.PageHeaderBytes.toLong + encLen)
         absOff += FeatureCodec.PageHeaderBytes.toLong + encLen

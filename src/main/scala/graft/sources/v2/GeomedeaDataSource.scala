@@ -494,6 +494,11 @@ class GeomedeaReaderFactory(bbox: Option[Envelope], required: StructType,
       private val fileUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(file)
       private val needsEnv = Set("min_lng", "min_lat", "max_lng", "max_lat")
         .exists(required.fieldNames.contains)
+      // geometry-only page decode: when no property column is projected,
+      // the scan jumps over each feature's props bytes instead of
+      // materializing strings/values the query never reads
+      private val geomOnly = !Set("props", "prop_keys", "prop_vals")
+        .exists(required.fieldNames.contains)
       private val directGens:
           Array[(((Long, Int), graft.codec.FeatureCodec.Feature), Envelope) => Any] =
         if (required.fieldNames.contains("props")) null
@@ -581,13 +586,13 @@ class GeomedeaReaderFactory(bbox: Option[Envelope], required: StructType,
               GeomedeaFile.selectPageRange(stream, comp, part.start, part.end,
                 part.dataStart, onPage = bytes => {
                   pagesDecoded += 1; bytesDecoded += bytes
-                })
+                }, geomOnly = geomOnly)
             case (None, None) =>
               // page-by-page streaming full scan: O(page) task memory
               stream = fs.open(p)
               GeomedeaFile.selectAllStream(stream, onPage = bytes => {
                 pagesDecoded += 1; bytesDecoded += bytes
-              })
+              }, geomOnly = geomOnly)
           }
         feats
       }

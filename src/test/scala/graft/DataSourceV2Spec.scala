@@ -70,6 +70,25 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(scanOf(df).toBatch.planInputPartitions().length == 3)
   }
 
+  test("geom-only projections equal the full read (props skip is value-invisible)") {
+    // r6: a projection with no props/prop_keys/prop_vals column decodes
+    // pages geometry-only (pointer jump over the props bytes) — the
+    // emitted wkb/offsets/envelope values must be identical to the full
+    // decode, on both the compressed and uncompressed shard
+    val full = spark.read.format("geomedea").load(shardDir)
+    def key(d: DataFrame) = d
+      .select(col("page_offset"), col("feature_offset"), hex(col("wkb")),
+        col("min_lng"), col("min_lat"), col("max_lng"), col("max_lat"))
+      .collect().map(_.toSeq).toSet
+    val geomOnly = key(full) // projection has no props column -> skip path
+    val viaFull = full.select(col("page_offset"), col("feature_offset"), hex(col("wkb")),
+        col("min_lng"), col("min_lat"), col("max_lng"), col("max_lat"),
+        element_at(col("prop_vals"), 1).as("pv")) // props required -> full decode path
+      .drop("pv")
+      .collect().map(_.toSeq).toSet
+    assert(geomOnly == viaFull && geomOnly.size == 80)
+  }
+
   test("WHERE bbox pushes filters, prunes whole files at planning, equals post-filter") {
     val q = Envelope.fromDegrees(100, 0, 110, 10) // east shard only
     val full = spark.read.format("geomedea").load(shardDir)
