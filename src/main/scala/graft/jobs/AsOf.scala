@@ -42,10 +42,23 @@ object AsOf {
     * @param rightTime event-time column on `right`
     * @param payload  right columns carried onto matches (returned as a
     *                 nullable struct column `asof`; NULL = no match yet)
+    * @param sliceWidth OPT-IN hot-key escape (guide §2.5; r5 verdict item
+    *                 8): 0 (default) keeps the single-window plan above;
+    *                 a positive width range-partitions the TIME AXIS into
+    *                 fixed slices of `sliceWidth` time units, so one
+    *                 pathological key (50% of all rows on one key) spreads
+    *                 over #slices tasks instead of serializing in one.
+    *                 Identical output (locked by equivalence tests): each
+    *                 slice computes its local running match, a tiny
+    *                 per-(key, slice) summary of "latest right payload"
+    *                 is prefix-scanned per key, and slice-local misses
+    *                 coalesce to the carried-in payload. Costs one extra
+    *                 small shuffle (the (key, slice) spine) — only worth
+    *                 it when a key's rows exceed a task.
     */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String], sliceWidth: Long = 0L): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("asof"),
       "left side must not already have a column named 'asof' (the match struct)")
@@ -70,16 +83,65 @@ object AsOf {
         col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
         payloadStruct.as("__p"), lit(null).cast(leftType).as("__l"))
 
-    // Right rows sort before left rows at equal time (inclusive <=); the
-    // payload itself is the final tiebreak so duplicate (key, time) right
-    // rows resolve deterministically.
-    val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__side"), col("__p"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = l.unionByName(r)
 
-    l.unionByName(r)
-      .withColumn("asof", last(col("__p"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-      .select(col("__l.*"), col("asof"))
+    if (sliceWidth <= 0L) {
+      // Right rows sort before left rows at equal time (inclusive <=); the
+      // payload itself is the final tiebreak so duplicate (key, time) right
+      // rows resolve deterministically.
+      val w = Window.partitionBy("__k")
+        .orderBy(col("__t"), col("__side"), col("__p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("asof", last(col("__p"), ignoreNulls = true).over(w))
+        .where(col("__side") === 1)
+        .select(col("__l.*"), col("asof"))
+    } else {
+      // hot-key escape: fixed time slices over a MONOTONE long image of
+      // the time column (slices must respect the window's time order;
+      // numeric times slice as-is, timestamps via epoch micros, naive
+      // timestamps via TZ-free wall micros). Exact integral floorDiv over
+      // the full long range (same negative-shift trick as IntervalJoin —
+      // `/` on longs is double division and rounds past 2^53).
+      import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+      val tLong = u.schema("__t").dataType match {
+        case _: NumericType   => col("__t").cast("long")
+        case TimestampType    => unix_micros(col("__t"))
+        case TimestampNTZType => expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', __t)")
+        case DateType         => datediff(col("__t"), lit("1970-01-01").cast("date")).cast("long")
+        case other => throw new IllegalArgumentException(
+          s"sliceWidth needs a numeric/timestamp/date time column; got $other")
+      }
+      def sliceOf(c: org.apache.spark.sql.Column) =
+        when(c >= 0, call_function("div", c, lit(sliceWidth)))
+          .otherwise(call_function("div", c + 1, lit(sliceWidth)) - 1)
+      val sliced = u.withColumn("__s", sliceOf(tLong))
+      // 1. slice-local running match: the hot key now spreads over its
+      //    slices; same order (t, side, payload) as the single window
+      val wLocal = Window.partitionBy("__k", "__s")
+        .orderBy(col("__t"), col("__side"), col("__p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val localMatched = sliced
+        .withColumn("__local", last(col("__p"), ignoreNulls = true).over(wLocal))
+      // 2. per-(key, slice) spine with that slice's LATEST right payload
+      //    (max over (t, payload) — the same tiebreak order the window
+      //    uses at its frame end), then a per-key prefix scan carries the
+      //    latest payload of all EARLIER slices onto each spine row. The
+      //    spine is distinct (key, slice) — orders of magnitude smaller
+      //    than the data; its window is the "stitch".
+      val spine = sliced
+        .groupBy("__k", "__s")
+        .agg(max(when(col("__side") === 0, struct(col("__t"), col("__p")))).as("__last"))
+      val wCarry = Window.partitionBy("__k").orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carries = spine.withColumn("__carry",
+        last(col("__last"), ignoreNulls = true).over(wCarry).getField("__p"))
+        .select(col("__k"), col("__s"), col("__carry"))
+      // 3. attach carries on the (key, slice) equi-key; slice-local miss
+      //    falls back to the carried payload
+      localMatched.join(carries, Seq("__k", "__s"), "left")
+        .where(col("__side") === 1)
+        .select(col("__l.*"), coalesce(col("__local"), col("__carry")).as("asof"))
+    }
   }
 }

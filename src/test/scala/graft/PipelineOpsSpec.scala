@@ -400,6 +400,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 100L, 2L -> -1L, 3L -> 151L, 4L -> -1L))
   }
 
+  test("as-of time-slice escape equals the single-window plan, incl. one 50% hot key") {
+    val s = spark
+    import s.implicits._
+    // r6 (verdict item 8): sliceWidth > 0 range-partitions the TIME axis
+    // so a pathological key spreads over slices; output must be identical
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val p = ev.where(col("event_type") =!= "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+    def key(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("event_id"), col("asof.click_id"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val base = key(AsOf.join(p, c, "user_id", "ts", "ts", Seq("click_id", "value")))
+    // slice at ~6h of micros: many slices over the event range
+    val stitched = key(AsOf.join(p, c, "user_id", "ts", "ts",
+      Seq("click_id", "value"), sliceWidth = 21600L * 1000000L))
+    assert(stitched == base)
+    // hot key: ONE key holds 50% of all rows on a plain long axis; slices
+    // cut it into 10 ranges. Include carry-across-empty-slice shapes
+    // (left rows in slices with no right rows) and equal-time ties.
+    val hotL = (0L until 500L).map(i => (1L, i * 7L)) ++
+      (0L until 500L).map(i => (i % 37L + 2L, i * 11L))
+    val hotR = (0L until 100L).map(i => (1L, i * 31L, i)) ++
+      (0L until 200L).map(i => (i % 37L + 2L, i * 13L, 1000L + i))
+    val lDf = hotL.toDF("id", "t")
+    val rDf = hotR.toDF("id", "t", "v")
+    def keyedBy(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("id"), col("t"), col("asof.v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val hb = keyedBy(AsOf.join(lDf, rDf, "id", "t", "t", Seq("v")))
+    val hs = keyedBy(AsOf.join(lDf, rDf, "id", "t", "t", Seq("v"), sliceWidth = 350L))
+    assert(hs == hb)
+    // brute check of the hot key itself
+    val brute = hotL.filter(_._1 == 1L).map { case (_, t) =>
+      val best = hotR.filter(x => x._1 == 1L && x._2 <= t)
+      (1L, t, if (best.isEmpty) -1L else best.maxBy(x => (x._2, x._3))._3)
+    }.toSet
+    assert(hs.filter(_._1 == 1L) == brute)
+  }
+
   test("point-in-interval join equals brute theta join; bucket/boundary edge matrix") {
     val s = spark
     import s.implicits._
