@@ -28,17 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Res 6 (64x64 grid), not the join default 4: kNN pays per CANDIDATE
+  /** Res 7 (128x128 grid), not the join default 4: kNN pays per CANDIDATE
     * row (each one runs the top-k aggregator), and at res 4 a 22.5 x
     * 11.25 degree cell swallows the whole hot cluster — any query whose
     * inflated ring touches that cell drags ~90% of the table through the
-    * aggregate. Res 6 cells are 16x smaller, rings tighten accordingly
-    * (measured 0.74 s -> 0.27 s on the 2M-doc bench), and the result is
-    * EXACT at any res — the exclusion-safe ring inflation in
+    * aggregate. Smaller cells tighten the rings (measured on the 2M-doc
+    * bench: 0.85 s at res 4, 0.57 s at res 6, 0.52 s at res 7 — past
+    * that, ring-planning fan-out eats the candidate savings), and the
+    * result is EXACT at any res — the exclusion-safe ring inflation in
     * [[safeRadius]] does not depend on the cell size. The histogram stays
-    * driver-bounded (<= 4^6 = 4096 entries).
+    * driver-bounded (<= 4^7 = 16384 entries).
     */
-  val DefaultRes = 6
+  val DefaultRes = 7
 
   /** Past this many queries the probe side stops being broadcastable and
     * [[knn]] switches to the distributed expansion automatically.

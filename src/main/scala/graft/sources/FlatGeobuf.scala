@@ -927,14 +927,20 @@ object FlatGeobuf {
     out.result()
   }
 
-  private def readFeature(fb: FbBuf, blockPos: Int, h: FgbHeader): Feature = {
+  private def readFeature(fb: FbBuf, blockPos: Int, h: FgbHeader,
+                          geomOnly: Boolean = false): Feature = {
     val t = fb.root(blockPos + 4)
     val gf = fb.field(t, 0)
     require(gf != 0, "FGB feature without geometry")
     val geom = readGeometry(fb, fb.indirect(gf), h.geometryType)
     val props = {
       val pf = fb.field(t, 1)
-      if (pf == 0) Vector.empty[(String, PValue)]
+      // geomOnly (r6): projections with no property column skip the props
+      // vector copy + parse entirely (the field offset lookup is all the
+      // FlatBuffers walk costs) — same contract as GeomedeaFile's
+      // geom-only page decode: emitted props are EMPTY, callers assert
+      // their projection first.
+      if (pf == 0 || geomOnly) Vector.empty[(String, PValue)]
       else {
         val v = fb.indirect(pf)
         val bin = java.util.Arrays.copyOfRange(fb.b, fb.vecElems(v),
@@ -1075,7 +1081,8 @@ object FlatGeobuf {
     * `onBlock(bytes)` fires per feature block.
     */
   def selectAllStream(in: java.io.DataInput, fileLen: Long,
-                      onBlock: Long => Unit = _ => ()): Iterator[(Long, Feature)] = {
+                      onBlock: Long => Unit = _ => (),
+                      geomOnly: Boolean = false): Iterator[(Long, Feature)] = {
     val head12 = new Array[Byte](Magic.length + 4)
     in.readFully(head12)
     val hdrLen = new FbBuf(head12).i32(Magic.length)
@@ -1103,7 +1110,7 @@ object FlatGeobuf {
         in.readFully(block, 4, size)
         onBlock(4L + size)
         pos += 4L + size
-        (off, readFeature(new FbBuf(block), 0, h))
+        (off, readFeature(new FbBuf(block), 0, h, geomOnly))
       }
     }
   }
@@ -1119,7 +1126,8 @@ object FlatGeobuf {
     */
   def selectRangeStream(in: java.io.DataInput, h: FgbHeader,
                         start: Long, end: Long,
-                        onBlock: Long => Unit = _ => ()): Iterator[(Long, Feature)] = {
+                        onBlock: Long => Unit = _ => (),
+                        geomOnly: Boolean = false): Iterator[(Long, Feature)] = {
     require(start >= h.featuresOffset && start < end,
       s"bad split range [$start,$end) for feature section at ${h.featuresOffset}")
     new Iterator[(Long, Feature)] {
@@ -1137,7 +1145,7 @@ object FlatGeobuf {
         in.readFully(block, 4, size)
         onBlock(4L + size)
         pos += 4L + size
-        (off, readFeature(new FbBuf(block), 0, h))
+        (off, readFeature(new FbBuf(block), 0, h, geomOnly))
       }
     }
   }

@@ -312,6 +312,12 @@ class FgbReaderFactory(bbox: Option[Envelope], required: StructType,
       private val fs = p.getFileSystem(conf.value)
       private var stream: org.apache.hadoop.fs.FSDataInputStream = null
 
+      // declared BEFORE iter (class-body init order): the stream scans
+      // capture it at construction. geometry-only block decode skips the
+      // props vector copy + parse when no property column is projected.
+      private val geomOnly = !Set("props", "prop_keys", "prop_vals")
+        .exists(required.fieldNames.contains)
+
       private val iter = {
         val len = fs.getFileStatus(p).getLen
         stream = fs.open(p)
@@ -338,9 +344,10 @@ class FgbReaderFactory(bbox: Option[Envelope], required: StructType,
                 s"at ${header.featuresOffset} — stale manifest splits; re-run a writer commit")
             stream.seek(part.start)
             FlatGeobuf.selectRangeStream(stream, header, part.start, part.end,
-              onBlock = bytesDecoded += _)
+              onBlock = bytesDecoded += _, geomOnly = geomOnly)
           case _ =>
-            FlatGeobuf.selectAllStream(stream, len, onBlock = bytesDecoded += _)
+            FlatGeobuf.selectAllStream(stream, len, onBlock = bytesDecoded += _,
+              geomOnly = geomOnly)
         }
         // pushed limit: per-partition stop (decoding halts with the
         // iterator — later blocks are never read off the stream)

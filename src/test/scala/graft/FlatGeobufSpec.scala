@@ -331,6 +331,24 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(narrow.collect().forall(_.length == 2))
   }
 
+  test("DSv2 geom-only projections equal the full decode (props skip is value-invisible)") {
+    // r6: no props column projected -> the FlatBuffers props vector is
+    // never copied/parsed; wkb/offset/envelope values must be identical
+    val spark = sparkSession
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("fgb_geomonly").toString
+    val feats = (0 until 40).map(i => pt(i % 10, i / 10, i.toLong))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.fgb"), FlatGeobuf.write(feats))
+    val df = spark.read.format("flatgeobuf").load(dir)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    val geomOnly = key(df.select(col("feature_offset"), hex(col("wkb")),
+      col("min_lng"), col("min_lat"), col("max_lng"), col("max_lat")))
+    val viaFull = key(df.select(col("feature_offset"), hex(col("wkb")),
+      col("min_lng"), col("min_lat"), col("max_lng"), col("max_lat"),
+      element_at(col("prop_vals"), 1).as("pv")).drop("pv"))
+    assert(geomOnly == viaFull && geomOnly.size == 40)
+  }
+
   test("DSv2 limit + COUNT(*) pushdowns mirror the geomedea source, unknown counts fall back") {
     val spark = sparkSession
     import org.apache.spark.sql.functions._
