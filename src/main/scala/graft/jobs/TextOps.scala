@@ -85,16 +85,60 @@ object TextOps {
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = corpus.agg(count(lit(1)).cast("double").as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    // r6: per-doc top-k via a BOUNDED typed aggregator instead of a
+    // row_number window (guide §2.3 "aggregate before you shuffle"): the
+    // window repartitioned the full scored TF table by doc_id and sorted
+    // every partition; the aggregator's map-side combine cuts each doc to
+    // <= k rows BEFORE the exchange, so the doc_id shuffle carries O(k)
+    // rows per doc per map partition instead of the doc's whole
+    // vocabulary. Order (score desc, term binary asc) and rank semantics
+    // are the window's exactly — locked by the brute-equivalence test
+    // and the q58 oracle.
+    val topk = udaf(new TermTopKAgg(k),
+      org.apache.spark.sql.Encoders.product[TfTerm])
     tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf") * round(log(col("n_docs") / col("df")) * 1000).cast("long"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("doc_id"), col("rank").cast("long").as("rank"),
-        col("term"), col("tf"), col("df"), col("score"))
+      .groupBy("doc_id")
+      .agg(topk(col("term"), col("tf"), col("df"), col("score")).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.term").as("term"), col("col.tf").as("tf"),
+        col("col.df").as("df"), col("col.score").as("score"))
+  }
+
+  final case class TfTerm(term: String, tf: Long, df: Long, score: Long)
+
+  /** Bounded exact top-k over (term, tf, df, score), ordered by
+    * (score desc, term UTF-8-binary asc — Spark's and DuckDB's string
+    * order, matching the window ORDER BY it replaces; terms are unique
+    * per doc so the order is total). Buffer IS the sorted top-k: O(k)
+    * state per doc per task, map-side combined.
+    */
+  final class TermTopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[TfTerm, Seq[TfTerm], Seq[TfTerm]] {
+    private def lt(a: TfTerm, b: TfTerm): Boolean =
+      if (a.score != b.score) a.score > b.score
+      else if (a.term == null) b.term != null
+      else if (b.term == null) false
+      else org.apache.spark.unsafe.types.UTF8String.fromString(a.term)
+        .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b.term)) < 0
+    private def insert(buf: Seq[TfTerm], c: TfTerm): Seq[TfTerm] =
+      if (buf.length >= k && !lt(c, buf.last)) buf
+      else {
+        val idx = buf.indexWhere(x => lt(c, x))
+        val i = if (idx < 0) buf.length else idx
+        (buf.take(i) :+ c) ++ buf.drop(i).take(k - i - 1)
+      }
+    override def zero: Seq[TfTerm] = Vector.empty
+    override def reduce(buf: Seq[TfTerm], c: TfTerm): Seq[TfTerm] = insert(buf, c)
+    override def merge(a: Seq[TfTerm], b: Seq[TfTerm]): Seq[TfTerm] = b.foldLeft(a)(insert)
+    override def finish(r: Seq[TfTerm]): Seq[TfTerm] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[TfTerm]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TfTerm]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[TfTerm]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TfTerm]]()
   }
 
   /** BM25 retrieval: rank documents against a fixed query-term set with
