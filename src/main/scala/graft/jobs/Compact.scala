@@ -369,9 +369,18 @@ object Compact {
       val docs = shards.map(s => spark.read.format(format).load(s.getPath.toString))
         .reduce(_ union _)
         .select("wkb", "props", "min_lng", "min_lat", "max_lng", "max_lat")
-      val ext = Ingest.extent(docs)
-      val clustered = Ingest.withHilbert(docs, ext)
-        .repartitionByRange(n, col("hilbert").desc)
+      // r6: one stats+sample pass + exact bucket placement (the Ingest
+      // pass-elimination applied to the rewrite — the containers are
+      // decoded twice per slice, not three times; the hash sample keys on
+      // wkb since container rows carry no doc_id). Thin samples fall back
+      // to the classic extent + sampling exchange. Within-shard ordering
+      // is the container writer's own job either way.
+      val (ext, sample) = Ingest.extentAndSample(docs, math.max(4096, n * 128),
+        org.apache.spark.sql.functions.xxhash64(col("wkb")))
+      val laidOut = Ingest.exactClustered(docs, ext, sample, n)
+        .getOrElse(Ingest.withHilbert(docs, ext)
+          .repartitionByRange(n, col("hilbert").desc))
+      val clustered = laidOut
         .select("wkb", "props")
         .write.format(format).mode("append")
         .option("shardToken", token)

@@ -66,7 +66,8 @@ object Ingest {
     * correctness — callers fall back to the sampling exchange when the
     * sample is too thin to cut `numPartitions` balanced ranges.
     */
-  private def extentAndSample(docsGeo: DataFrame, targetSample: Int)
+  private[jobs] def extentAndSample(docsGeo: DataFrame, targetSample: Int,
+                                    hashCol: org.apache.spark.sql.Column)
   : (Envelope, Seq[Long]) = {
     val estRows = (docsGeo.queryExecution.optimizedPlan.stats.sizeInBytes / 64)
       .min(java.lang.Long.MAX_VALUE).toLong max 1L
@@ -79,11 +80,41 @@ object Ingest {
       .bitwiseOR(cLat.cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
     val r = docsGeo.agg(
       min("min_lng"), min("min_lat"), max("max_lng"), max("max_lat"),
-      collect_list(when(xxhash64(col("doc_id")).bitwiseAND(lit(p - 1)) === 0, packed))
+      collect_list(when(hashCol.bitwiseAND(lit(p - 1)) === 0, packed))
         .as("sample")).head()
     if (r.isNullAt(0)) (Envelope.empty, Seq.empty)
     else (Envelope(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)), r.getSeq[Long](4))
   }
+
+  /** Exact Hilbert-range layout from a pre-computed extent + center
+    * sample: boundaries cut on the driver, rows placed with the exact
+    * bucket shuffle (no `repartitionByRange` sampling pass). None when
+    * the sample is too thin to cut `numPartitions` balanced ranges —
+    * callers fall back to the sampling exchange. Partition 0 holds the
+    * LARGEST hilbert keys, matching `repartitionByRange(desc)`; rows are
+    * NOT sorted within partitions (callers that need it sort, container
+    * writers sort internally).
+    */
+  private[jobs] def exactClustered(docsGeo: DataFrame, ext: Envelope,
+                                   sample: Seq[Long], numPartitions: Int)
+  : Option[DataFrame] =
+    if (sample.length < 4 * numPartitions || numPartitions <= 1) None
+    else {
+      val hs = sample.map(c =>
+        graft.curve.Hilbert.scaledHilbert((c >> 32).toInt, c.toInt,
+          ext.minLng, ext.minLat, ext.maxLng, ext.maxLat))
+        .sorted(Ordering[Long].reverse).toIndexedSeq
+      val boundaries = Array.tabulate(numPartitions - 1) { i =>
+        hs(((i + 1).toLong * hs.length / numPartitions).toInt)
+      }
+      val bucketed = withHilbert(docsGeo, ext)
+        .withColumn("__bucket",
+          coalesce(graft.expr.GraftFunctions.gmRangeBucketDesc(col("hilbert"), boundaries),
+            lit(numPartitions - 1))) // null hilbert sorts last, like hilbert DESC
+      Some(org.apache.spark.sql.GraftSqlShim
+        .repartitionByBucket(bucketed, numPartitions, "__bucket")
+        .drop("__bucket"))
+    }
 
   /** Write the clustered table + a NEW `_lineage/v=N` manifest snapshot
     * (N strictly increasing — emulated Iceberg snapshot history: readers
@@ -106,29 +137,15 @@ object Ingest {
   def write(docsGeo: DataFrame, outDir: String, numPartitions: Int,
             codec: String = "zstd"): DataFrame = {
     val spark = docsGeo.sparkSession
-    val (ext, sample) = extentAndSample(docsGeo, math.max(4096, numPartitions * 128))
-    val laidOut =
-      if (sample.length < 4 * numPartitions || numPartitions <= 1) {
+    val (ext, sample) =
+      extentAndSample(docsGeo, math.max(4096, numPartitions * 128), xxhash64(col("doc_id")))
+    val laidOut = exactClustered(docsGeo, ext, sample, numPartitions)
+      .map(_.sortWithinPartitions(col("hilbert").desc))
+      .getOrElse {
         // thin sample: one balanced range per partition is not derivable —
         // use the classic sampling exchange (extent already known)
         withHilbert(docsGeo, ext)
           .repartitionByRange(numPartitions, col("hilbert").desc)
-          .sortWithinPartitions(col("hilbert").desc)
-      } else {
-        val hs = sample.map(c =>
-          graft.curve.Hilbert.scaledHilbert((c >> 32).toInt, c.toInt,
-            ext.minLng, ext.minLat, ext.maxLng, ext.maxLat))
-          .sorted(Ordering[Long].reverse).toIndexedSeq
-        val boundaries = Array.tabulate(numPartitions - 1) { i =>
-          hs(((i + 1).toLong * hs.length / numPartitions).toInt)
-        }
-        val bucketed = withHilbert(docsGeo, ext)
-          .withColumn("__bucket",
-            coalesce(graft.expr.GraftFunctions.gmRangeBucketDesc(col("hilbert"), boundaries),
-              lit(numPartitions - 1))) // null hilbert sorts last, like hilbert DESC
-        org.apache.spark.sql.GraftSqlShim
-          .repartitionByBucket(bucketed, numPartitions, "__bucket")
-          .drop("__bucket")
           .sortWithinPartitions(col("hilbert").desc)
       }
     laidOut
